@@ -1,0 +1,393 @@
+"""HashMergeTable — the MERGE-upsert sink (SURVEY.md §2.1 S6-S8).
+
+Iceberg-style semantics on plain parquet (the Iceberg runtime jar is not
+available in this sandbox; the interface is what spark-submit would point
+at a real Iceberg catalog — see ``merge_sql_for_iceberg`` at the bottom for
+the exact statement the engine issues when one is present):
+
+* **table = data files + snapshot pointer.** Data lives under
+  ``data/e{epoch}/_b={bucket}/*.parquet``; a snapshot JSON maps every
+  bucket to its current data dir; ``CURRENT`` is an atomically-renamed
+  pointer file. Readers only ever see committed snapshots.
+* **bucket partition pruning.** Keys hash to ``pmod(xxhash64(repo,path),
+  n_buckets)``; a MERGE reads *only* the buckets the source touches
+  (copy-on-write of affected buckets — same effect as Iceberg file-level
+  pruning on ``bucket(repo, path)``).
+* **idempotent commits.** Each snapshot carries the manifest rows
+  ``(partition=bucket, epoch, rows_applied, src_seq_lo/hi)``; replaying an
+  already-committed epoch is a no-op (exactly-once resume — the fix for
+  the reference's duplicate ``_SeenUrls{n}`` output files,
+  ``/root/reference/search_scrape.py:419-420``).
+* **transactional schema evolution.** Add-column / type-widening is a
+  metadata-only snapshot commit; old data files are read with the schema
+  they were written with and aligned (cast + null-fill) at scan time.
+* **time travel.** Old snapshots are retained; ``read(at_snapshot=...)``.
+
+MERGE semantics (per epoch, source already compacted to ≤1 row/key):
+
+    MERGE INTO target t USING source s
+      ON t.repo = s.repo AND t.path = s.path
+    WHEN MATCHED AND s.op = 'D' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+
+implemented relationally as (kept = target ⟕anti source-keys) ∪ (source
+minus deletes) over affected buckets only — one shuffle join keyed on
+(repo, path), broadcast when the source slice is small (AQE decides).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from read_comp_data_pipeline_spark.schemas import KEY_COLS, MANIFEST_SCHEMA, METRICS_SCHEMA
+
+_CURRENT = "CURRENT"
+
+
+def bucket_expr(n_buckets: int, key_cols: list[str] | None = None):
+    key_cols = key_cols or KEY_COLS
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto ``schema``: cast matching columns, null-fill missing.
+
+    This is what makes add-column and type-widening evolution metadata-only:
+    files written under an old schema are aligned at scan time.
+    """
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class HashMergeTable:
+    """A key-partitioned MERGE target with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- creation / snapshot plumbing ---------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key_cols: list[str] | None = None,
+    ) -> "HashMergeTable":
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        snap = {
+            "version": 0,
+            "epoch": -1,
+            "n_buckets": n_buckets,
+            "key_cols": key_cols or KEY_COLS,
+            "schemas": [json.loads(schema.json())],
+            "current_schema_id": 0,
+            "buckets": {},  # bucket -> {dir, schema_id, rows}
+            "manifest": [],  # cumulative (partition, epoch) commit rows
+            "metrics": [],
+        }
+        t = cls(spark, path)
+        t._commit_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, _CURRENT))
+
+    def _snapshot(self) -> dict[str, Any]:
+        with open(os.path.join(self.path, _CURRENT)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.path, "snapshots", name)) as f:
+            return json.load(f)
+
+    def _commit_snapshot(self, snap: dict[str, Any]) -> None:
+        """Write snapshot JSON then atomically swing the CURRENT pointer.
+
+        A crash before the final ``os.replace`` leaves the table at the
+        previous snapshot (orphan data files are harmless and vacuumable);
+        a crash after it means the commit fully happened. This ordering is
+        the exactly-once foundation (SURVEY.md §2.9).
+        """
+        name = f"snap-{snap['version']:08d}.json"
+        snap_dir = os.path.join(self.path, "snapshots")
+        tmp = os.path.join(snap_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(snap_dir, name))
+        cur_tmp = os.path.join(self.path, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def schema(self) -> T.StructType:
+        snap = self._snapshot()
+        return T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+
+    @property
+    def last_epoch(self) -> int:
+        return int(self._snapshot()["epoch"])
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self._snapshot()["n_buckets"])
+
+    # -- read path ------------------------------------------------------------
+
+    def read(self, buckets: list[int] | None = None, at_snapshot: dict | None = None) -> DataFrame:
+        """Scan the table (optionally only ``buckets`` — manual partition
+        pruning; optionally at an old snapshot — time travel)."""
+        snap = at_snapshot or self._snapshot()
+        cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        entries = snap["buckets"]
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            entries = {b: e for b, e in entries.items() if b in wanted}
+        # group bucket dirs by the schema they were written with: one scan
+        # per schema generation, aligned to the current schema, unioned.
+        by_schema: dict[int, list[str]] = {}
+        for e in entries.values():
+            by_schema.setdefault(e["schema_id"], []).append(os.path.join(self.path, e["dir"]))
+        if not by_schema:
+            return self.spark.createDataFrame([], cur_schema)
+        parts = []
+        for sid, dirs in sorted(by_schema.items()):
+            written = T.StructType.fromJson(snap["schemas"][sid])
+            parts.append(_align(self.spark.read.schema(written).parquet(*dirs), cur_schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- schema evolution (metadata-only commit) -------------------------------
+
+    def evolve_schema(self, new_schema: T.StructType) -> bool:
+        """Transactionally set a new current schema (add columns / widen
+        types). Returns True if a new snapshot was committed. Existing data
+        files are untouched; reads align old files to the new schema.
+        """
+        snap = self._snapshot()
+        cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        if cur.json() == new_schema.json():
+            return False
+        _check_compatible_evolution(cur, new_schema)
+        snap["schemas"].append(json.loads(new_schema.json()))
+        snap["current_schema_id"] = len(snap["schemas"]) - 1
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return True
+
+    # -- the MERGE -------------------------------------------------------------
+
+    def merge(
+        self,
+        source: DataFrame,
+        epoch: int,
+        src_seq_lo: int | None = None,
+        src_seq_hi: int | None = None,
+        op_col: str = "op",
+    ) -> dict[str, Any]:
+        """Apply one compacted epoch slice. Source must have ≤1 row per key
+        plus an ``op`` column ('I'/'U'/'D'); all non-op columns must exist in
+        (or be castable to) the current table schema.
+
+        Returns a stats dict; skips (idempotently) if ``epoch`` was already
+        committed.
+        """
+        t0 = time.monotonic()
+        snap = self._snapshot()
+        if epoch <= snap["epoch"]:
+            return {"skipped": True, "epoch": epoch, "rows_applied": 0}
+
+        n_buckets = snap["n_buckets"]
+        key_cols = snap["key_cols"]
+        cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+
+        src = source.withColumn("_b", bucket_expr(n_buckets, key_cols))
+        # The source slice is one epoch → small relative to the table; keep
+        # it around for the bucket list, the anti-join and the write.
+        src = src.persist()
+        try:
+            affected = [r["_b"] for r in src.select("_b").distinct().collect()]
+            if not affected:
+                stats = self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0)
+                return stats
+
+            # MERGE arms, relationally:
+            #   kept    = target(affected buckets) ANTI JOIN source-keys
+            #   applied = source WHERE op != 'D'
+            tgt = self.read(buckets=affected, at_snapshot=snap)
+            kept = tgt.join(src.select(*key_cols), on=key_cols, how="left_anti")
+            applied = _align(src.where(F.col(op_col) != "D"), cur_schema)
+            merged = (
+                kept.unionByName(applied)
+                .withColumn("_b", bucket_expr(n_buckets, key_cols))
+            )
+
+            data_dir = f"data/e{epoch:010d}"
+            out_path = os.path.join(self.path, data_dir)
+            merged = merged.persist()
+            try:
+                bucket_rows = {
+                    int(r["_b"]): int(r["cnt"])
+                    for r in merged.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
+                }
+                merged.write.mode("overwrite").partitionBy("_b").parquet(out_path)
+            finally:
+                merged.unpersist()
+            applied_rows = int(src.count())
+        finally:
+            src.unpersist()
+
+        # new snapshot: affected buckets point at the new dirs; empty ones drop
+        new_buckets = dict(snap["buckets"])
+        committed_ts = time.time()
+        manifest_rows = []
+        for b in affected:
+            rows = bucket_rows.get(int(b), 0)
+            if rows > 0:
+                new_buckets[str(b)] = {
+                    "dir": f"{data_dir}/_b={b}",
+                    "schema_id": snap["current_schema_id"],
+                    "rows": rows,
+                }
+            else:
+                new_buckets.pop(str(b), None)
+            manifest_rows.append(
+                {
+                    "partition": int(b),
+                    "epoch": epoch,
+                    "committed_ts": committed_ts,
+                    "rows_applied": rows,
+                    "src_seq_lo": src_seq_lo,
+                    "src_seq_hi": src_seq_hi,
+                }
+            )
+        secs = time.monotonic() - t0
+        snap["buckets"] = new_buckets
+        snap["manifest"].extend(manifest_rows)
+        snap["metrics"].extend(
+            [
+                {
+                    "epoch": epoch,
+                    "partition": int(b),
+                    "events": bucket_rows.get(int(b), 0),
+                    "bytes": 0,
+                    "secs": secs,
+                    "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
+                    "lag_events": 0,
+                }
+                for b in affected
+            ]
+        )
+        snap["epoch"] = epoch
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {
+            "skipped": False,
+            "epoch": epoch,
+            "rows_applied": applied_rows,
+            "buckets_touched": len(affected),
+            "secs": secs,
+        }
+
+    def _commit_noop(self, snap, epoch, lo, hi, t0) -> dict[str, Any]:
+        snap["epoch"] = epoch
+        snap["version"] += 1
+        snap["manifest"].append(
+            {
+                "partition": -1,
+                "epoch": epoch,
+                "committed_ts": time.time(),
+                "rows_applied": 0,
+                "src_seq_lo": lo,
+                "src_seq_hi": hi,
+            }
+        )
+        self._commit_snapshot(snap)
+        return {"skipped": False, "epoch": epoch, "rows_applied": 0, "buckets_touched": 0,
+                "secs": time.monotonic() - t0}
+
+    # -- lineage / metrics ------------------------------------------------------
+
+    def manifest(self) -> DataFrame:
+        rows = [
+            (
+                int(m["partition"]),
+                int(m["epoch"]),
+                # committed_ts stored as epoch-seconds float
+                _dt.datetime.fromtimestamp(m["committed_ts"], _dt.timezone.utc).replace(tzinfo=None),
+                int(m["rows_applied"]),
+                m["src_seq_lo"],
+                m["src_seq_hi"],
+            )
+            for m in self._snapshot()["manifest"]
+        ]
+        return self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+
+    def metrics(self) -> DataFrame:
+        rows = [
+            (int(m["epoch"]), int(m["partition"]), int(m["events"]), int(m["bytes"]),
+             float(m["secs"]), float(m["events_per_sec"]), int(m["lag_events"]))
+            for m in self._snapshot()["metrics"]
+        ]
+        return self.spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def _check_compatible_evolution(old: T.StructType, new: T.StructType) -> None:
+    """Allow add-column and numeric widening; reject drops/narrowing."""
+    widen_ok = {
+        ("integer", "long"), ("integer", "double"), ("long", "double"),
+        ("float", "double"), ("short", "integer"), ("short", "long"),
+    }
+    new_names = {f.name: f for f in new.fields}
+    for f in old.fields:
+        if f.name not in new_names:
+            raise ValueError(f"schema evolution cannot drop column {f.name!r}")
+        nf = new_names[f.name]
+        if nf.dataType != f.dataType:
+            pair = (f.dataType.typeName(), nf.dataType.typeName())
+            if pair not in widen_ok:
+                raise ValueError(
+                    f"incompatible type change for {f.name!r}: {pair[0]} -> {pair[1]}"
+                )
+
+
+def merge_sql_for_iceberg(target: str, source_view: str, key_cols: list[str] | None = None) -> str:
+    """The statement this sink issues verbatim on a cluster with the
+    Iceberg runtime (kept here so the sandbox implementation and the
+    cluster deployment share one definition of the MERGE semantics)."""
+    key_cols = key_cols or KEY_COLS
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *"
+    )

@@ -1,0 +1,146 @@
+"""Golden replay + exactly-once resume + schema evolution (SURVEY §5.2-5.4).
+
+The north_rule correctness gate: a full WAL replay must converge to the
+independently-computed expected final state, verified row-by-row by
+sha256(content) equality; a killed-and-resumed replay must converge to the
+identical state; re-running a committed epoch must be a no-op.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.operators.compact import (
+    compact_latest,
+    compact_latest_salted,
+)
+from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+from read_comp_data_pipeline_spark.sources.wal import (
+    expected_final_state,
+    generate_change_events,
+    write_wal,
+)
+from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
+
+N_EVENTS = 3000
+N_KEYS = 300
+EPOCH_SIZE = 500
+
+
+@pytest.fixture(scope="module")
+def wal_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("wal") / "change_events")
+    df = generate_change_events(spark, N_EVENTS, n_keys=N_KEYS, epoch_size=EPOCH_SIZE)
+    write_wal(df, p)
+    return p
+
+
+def _final_expected(spark, wal_path):
+    wal = spark.read.parquet(wal_path)
+    return expected_final_state(wal)
+
+
+def _state_digest(df):
+    """Order-insensitive digest of (repo, path, sha256(content))."""
+    return (
+        df.select(
+            F.xxhash64(
+                "repo", "path", F.sha2(F.encode(F.coalesce(F.col("content"), F.lit("")), "utf-8"), 256)
+            ).alias("h")
+        )
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("d"), F.count("*").alias("n"))
+        .first()
+    )
+
+
+def test_wal_generation_invariants(spark, wal_path):
+    wal = spark.read.parquet(wal_path)
+    assert wal.count() == N_EVENTS
+    # first event per key is an Insert; deletes have null content
+    firsts = (
+        wal.groupBy("repo", "path").agg(F.min_by("op", "seq").alias("first_op"))
+    )
+    assert firsts.where(F.col("first_op") != "I").count() == 0
+    assert wal.where((F.col("op") == "D") & F.col("content").isNotNull()).count() == 0
+    assert wal.where((F.col("op") != "D") & F.col("content").isNull()).count() == 0
+    ops = {r["op"] for r in wal.select("op").distinct().collect()}
+    assert ops == {"I", "U", "D"}
+
+
+def test_compaction_matches_window_oracle(spark, wal_path):
+    wal = spark.read.parquet(wal_path)
+    expected = expected_final_state(wal)  # window row_number implementation
+    got = compact_latest(wal).where(F.col("op") != "D")
+    assert _state_digest(got) == _state_digest(expected)
+    got_salted = compact_latest_salted(wal).where(F.col("op") != "D")
+    assert _state_digest(got_salted) == _state_digest(expected)
+
+
+def test_golden_replay_sha_equality(spark, wal_path, tmp_path):
+    tbl_path = str(tmp_path / "target")
+    stats = run_ingest(spark, wal_path, tbl_path, n_buckets=8)
+    assert stats.epochs_applied == N_EVENTS // EPOCH_SIZE
+    table = HashMergeTable(spark, tbl_path)
+    final = table.read()
+    expected = _final_expected(spark, wal_path)
+
+    assert final.count() == expected.count()
+    # row-by-row sha256(content) equality via full outer join on the key
+    j = final.select("repo", "path", "content_sha").join(
+        expected.select(
+            "repo", "path",
+            F.sha2(F.encode("content", "utf-8"), 256).alias("exp_sha"),
+        ),
+        on=["repo", "path"],
+        how="full_outer",
+    )
+    mismatches = j.where(
+        F.col("content_sha").isNull()
+        | F.col("exp_sha").isNull()
+        | (F.col("content_sha") != F.col("exp_sha"))
+    ).count()
+    assert mismatches == 0
+    # extraction fields present on every row
+    assert final.where(F.col("title").isNull()).count() == 0
+    assert final.where(F.col("heading").isNull()).count() == 0
+
+
+def test_kill_and_resume_converges_identically(spark, wal_path, tmp_path):
+    a = str(tmp_path / "uninterrupted")
+    b = str(tmp_path / "resumed")
+    run_ingest(spark, wal_path, a, n_buckets=8)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_ingest(spark, wal_path, b, n_buckets=8, fail_after_epoch=2)
+    stats = run_ingest(spark, wal_path, b, n_buckets=8)  # resume
+    assert stats.epochs_skipped == 0  # resumes at last+1, not from 0
+    ta, tb = HashMergeTable(spark, a), HashMergeTable(spark, b)
+    assert _state_digest(ta.read()) == _state_digest(tb.read())
+    # manifest covers every epoch exactly once per touched partition
+    m = tb.manifest()
+    dup = m.groupBy("partition", "epoch").count().where(F.col("count") > 1).count()
+    assert dup == 0
+
+
+def test_rerun_committed_epoch_is_noop(spark, wal_path, tmp_path):
+    tbl_path = str(tmp_path / "target")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=8)
+    table = HashMergeTable(spark, tbl_path)
+    before = _state_digest(table.read())
+    version_before = table._snapshot()["version"]
+    stats = run_ingest(spark, wal_path, tbl_path, n_buckets=8)  # replay all
+    assert stats.epochs_applied == 0
+    assert _state_digest(table.read()) == before
+    assert table._snapshot()["version"] == version_before
+
+
+def test_delete_keys_absent(spark, wal_path, tmp_path):
+    tbl_path = str(tmp_path / "target")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=8)
+    wal = spark.read.parquet(wal_path)
+    final = HashMergeTable(spark, tbl_path).read()
+    last_op = compact_latest(wal).select("repo", "path", "op")
+    deleted = last_op.where(F.col("op") == "D")
+    assert deleted.count() > 0  # generator produced trailing deletes
+    assert final.join(deleted, on=["repo", "path"], how="left_semi").count() == 0
