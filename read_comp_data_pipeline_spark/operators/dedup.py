@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates with an in-driver seen-set (exact key identity,
+``/root/reference/search_scrape.py:330-337``). At 100 TB the engine needs
+content-level dedup families, each shuffle-conscious:
+
+* exact          — hash-groupBy on md5(text); map-side combinable.
+* minhash + LSH  — shingle → k minhashes → banded signatures → bucket join;
+                   candidate verification by exact Jaccard. Pair generation
+                   is bounded per bucket (no all-pairs blowup).
+* simhash        — 16-bit sign-sum fingerprint; near-dups share a bucket.
+* n-gram Jaccard — exact verification used on LSH candidates.
+* embedding cosine — see operators/similarity.py.
+
+Everything is Column-expression only (no UDFs) so DuckDB oracles can
+replicate it bit-for-bit via the portable hash (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.functions.hashing import phash
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (content_hash, keeper_id = min id, dup_count).
+
+    One hash-aggregate; partial agg makes it skew-safe even if one document
+    is duplicated millions of times.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def tokens_expr(text_col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """(id, shingle) — distinct n-gram word shingles per document.
+
+    Shingling is a per-row array transform (no shuffle); the distinct is a
+    local explode + aggregate keyed by (id, shingle).
+    """
+    toks = tokens_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.where(F.size(toks) >= n)  # <n-token docs yield no shingles
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """(id, h0..h{k-1}) — k independent minhashes per document.
+
+    One aggregate over the exploded shingle relation: min of a seeded
+    portable hash per seed. Map-side combinable → skew-safe.
+    """
+    aggs = [F.min(phash(F.col("shingle"), seed=i)).alias(f"h{i}") for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_bucket_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """Banded LSH: docs agreeing on any full band become candidate pairs.
+
+    Returns distinct (id_a < id_b) pairs. The self-join shuffles on the
+    band-hash key only; bucket sizes are bounded by signature agreement, so
+    no quadratic blowup on the full corpus.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + i}").cast("string") for i in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws(",", *cols)).alias(f"band{b}"))
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("id", "bd.band_no", "bd.band_hash")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, on=["band_no", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    intersection via double semi-keyed join of the shingle relation;
+    union = |A| + |B| - |A∩B|. All shuffles keyed on doc id or shingle.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), on="shingle")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="inner")
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, k)
+    pairs = lsh_bucket_pairs(sig, k, bands)
+    return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(id, simhash) — sign-sum fingerprint over token hashes.
+
+    bit_b(doc) = 1 iff sum over tokens of (2*bit_b(hash(token)) - 1) > 0.
+    Pure Column expressions; one explode + one aggregate.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = phash(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Documents sharing a simhash bucket → near-dup groups (hamming-0)."""
+    s = simhash(df, text_col, id_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+
+* brute-force cosine top-k — the exact baseline. Queries are broadcast
+  (small side), candidates stream; the dot product is a JVM-side
+  ``zip_with``/``aggregate`` fold (no Python). O(Q×N) but embarrassingly
+  parallel and shuffle-free until the final per-query top-k.
+* LSH-bucketed ANN — deterministic random-hyperplane signatures; only
+  same-bucket (plus optional multi-probe) candidates are scored. The
+  bucket join replaces the cross product: this is the 100 TB path.
+
+An IVF variant would cluster first (KMeans) and probe nearest centroids;
+the LSH version is preferred here because it is fully deterministic and
+needs no training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.functions.hashing import phash
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """JVM-side dot product: fold over zip_with in doubles (element order —
+    deterministic, matches DuckDB's list functions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` (few rows) is explicitly broadcast; the candidate scan never
+    shuffles until the per-query top-k window (partitioned by query id —
+    Q partitions, each holding N rows pre-filtered by nothing: for large N
+    use :func:`lsh_ann_topk`).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    (phash('p:d') % 2001 - 1000)/1000 ∈ [-1, 1]. Sign of the dot product
+    is one signature bit. No training, reproducible across runs/engines."""
+    comps = F.array(
+        *[
+            ((phash(F.lit(f"{plane}:{d}")) % 2001 - 1000) / 1000.0).cast("double")
+            for d in range(dim)
+        ]
+    )
+    return (dot_expr(vec, comps) >= 0).cast("int")
+
+
+def lsh_signature(vec: Column, n_planes: int, dim: int) -> Column:
+    sig = None
+    for p in range(n_planes):
+        term = _hyperplane_sign(vec, p, dim) * F.lit(2 ** p)
+        sig = term if sig is None else sig + term
+    return sig.cast("int")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+
+    With n_planes=8 a uniform corpus splits ~256-way → ~N/256 scored per
+    query instead of N. Multi-probe (flip one bit) widens recall: all
+    (n_planes+1) probe buckets per query are unioned before the join.
+    """
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    )
+    probes = q.select(
+        "query_id", "q_vec",
+        F.explode(
+            F.array(F.col("sig"), *[
+                F.col("sig").bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)
+            ])
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked to avoid the full cross
+    product (block on ``label`` here; at scale the block key is an LSH
+    bucket — see lsh_signature)."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    joined = a.join(b, on="blk") if block_col else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,1033 @@
+"""The operator catalog: every SURVEY §2 operator (plus the training-data
+pipeline extensions) as a (Spark DataFrame query, DuckDB oracle SQL) pair.
+
+Driver contract (``__spark_entry__.py``): each entry's Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle SQL runs on DuckDB
+views of the same parquet. Every computed column is aliased identically on
+both sides; float aggregates go through exact decimal summation (or
+end-rounding) so the cross-engine value-hash matches bit-for-bit.
+
+Scale notes are attached per query; the common ones:
+* dimension joins (region/nation/part/supplier) are broadcast;
+* every aggregation is map-side combinable (no windows where a groupBy
+  works — see operators/compact.py for why);
+* predicates/projections are plain Column exprs → pushed into the scans.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.functions.classify import keyword_hits
+from read_comp_data_pipeline_spark.functions.hashing import phash, phash_sql
+from read_comp_data_pipeline_spark.functions.urls import (
+    absolutize,
+    strip_fragment,
+    url_accept,
+)
+from read_comp_data_pipeline_spark.operators import textstats
+from read_comp_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_on_pairs,
+    lsh_bucket_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+from read_comp_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+from read_comp_data_pipeline_spark.plans.relational_w1 import (
+    W1_ORACLE_SQL,
+    relational_sections,
+    synth_docs,
+)
+from read_comp_data_pipeline_spark.schemas import TARGET_SCHEMA
+from read_comp_data_pipeline_spark.sources.tables import load
+from read_comp_data_pipeline_spark.streaming.ingest import prepare_target_rows
+from read_comp_data_pipeline_spark.operators.compact import compact_latest
+
+
+def _dsum(col, scale: int = 4):
+    """Exact decimal summation → double: bit-identical across engines
+    (double sums are order-dependent; decimal sums are exact)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+_REG = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        _REG[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# CDC core (SURVEY §2.1, §2.4 A5, §2.9) — the engine itself
+# ═══════════════════════════════════════════════════════════════════════════
+
+@_q(
+    "cdc_compact_latest",
+    """
+    SELECT user_id,
+           max(event_id) AS last_event_id,
+           arg_max(event_type, event_id) AS last_event_type,
+           arg_max(value, event_id) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O1 — last-writer-wins per key via max_by (map-side combinable;
+    the window-free compaction the ingest loop uses)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+@_q(
+    "cdc_dedup_first_wins",
+    """
+    SELECT user_id,
+           min(event_id) AS first_event_id,
+           arg_min(event_type, event_id) AS first_event_type
+    FROM events GROUP BY user_id
+    """,
+)
+def cdc_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (reference order): the crawl seen-set keeps the FIRST occurrence
+    (search_scrape.py:336-337); min_by is the relational form."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+    )
+
+
+_CDC_REPLAY_ORACLE = """
+    WITH wal AS (
+      SELECT event_id AS seq,
+             'u' || (user_id % 10) AS repo,
+             'p' || user_id AS path,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             props || ':' || event_type AS content
+      FROM events
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        FROM wal
+      ) WHERE rn = 1
+    )
+    SELECT repo, path, md5(content) AS commit, 'py' AS lang, content,
+           content AS title, content AS heading, content AS text,
+           sha256(content) AS content_sha, seq
+    FROM latest WHERE op <> 'D'
+"""
+
+
+@_q("cdc_replay_final_state", _CDC_REPLAY_ORACLE)
+def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE engine, end-to-end, inside the correctness gate: derive a WAL
+    from `events`, replay it epoch-by-epoch through compaction + extraction
+    + MERGE into a HashMergeTable, return the final state. The oracle is
+    the independent latest-non-delete window query — the north_rule
+    convergence check on driver-shared data."""
+    ev = load(spark, sf_dir, "events")
+    wal = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat_ws(":", "props", "event_type").alias("content"),
+    ).withColumn("commit", F.md5("content")).withColumn("lang", F.lit("py"))
+    wal = wal.withColumn(
+        "content", F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col("content"))
+    )
+    epoch_size = 2500
+    n = wal.agg(F.max("seq")).first()[0] or 0
+    tbl_path = tempfile.mkdtemp(prefix="cdc_replay_")
+    table = HashMergeTable.create(spark, tbl_path, TARGET_SCHEMA, n_buckets=8)
+    for epoch in range(int(n) // epoch_size + 1):
+        lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size - 1
+        sl = wal.where(F.col("seq").between(lo, hi))
+        src = prepare_target_rows(compact_latest(sl))
+        table.merge(src, epoch, src_seq_lo=lo, src_seq_hi=hi)
+    out = table.read()
+    # deletes carry null content; final state contains only live rows with
+    # the latest event's content — re-derive the delete-filtered projection
+    return out.select(
+        "repo", "path", "commit", "lang", "content",
+        "title", "heading", "text", "content_sha", "seq",
+    )
+
+
+@_q(
+    "hour_rotation_metrics",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def hour_rotation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/S9/F11 — the reference's hourly log rotation as a tumbling-window
+    aggregate (date_trunc keeps it a plain groupBy: map-side combinable)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming-adjacent stateful op): lag +
+    running sum. The window is keyed by user_id — the same per-key
+    parallelism argument as compaction."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet ts is NTZ; session tz is UTC
+    g = ev.withColumn(
+        "new_sess",
+        F.when(ms - F.lag(ms).over(w) > 1_800_000, 1).otherwise(0),
+    )
+    s = g.withColumn("session_id", F.sum("new_sess").over(w))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# TPC-H-style relational coverage (joins, aggs, windows, sorts, sets)
+# ═══════════════════════════════════════════════════════════════════════════
+
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity', 2)} AS sum_qty,
+           {_dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + pushed filter + 4-way aggregate. The filter
+    and 2-column grouping reach the parquet scan (PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_top_unshipped",
+    f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           min(o.o_orderdate) AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15' AND l.l_shipdate > DATE '1998-03-15'
+    GROUP BY l.l_orderkey
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → deterministic
+    top-k (ties broken by key). Customer side is broadcast (small after
+    the segment filter)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.min("o_orderdate").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    f"""
+    SELECT n.n_name AS nation,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims (supplier/nation/
+    region all ≪ fact). Catalyst already picks broadcast; hints make it
+    explicit and survive stats drift."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount', 6)} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive pushed predicate + global
+    agg — the whole plan is one WholeStageCodegen span over the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "part_brand_stats",
+    f"""
+    SELECT p.p_brand AS brand,
+           count(*) AS n_items,
+           {_dsum_sql('l.l_quantity', 2)} AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg (the canonical small-dim pattern)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n_items"), _dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@_q(
+    "rollup_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set coverage (absent from the reference, free in Spark)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@_q(
+    "window_top_suppliers",
+    f"""
+    SELECT * FROM (
+      SELECT s.s_nationkey AS nationkey, s.s_suppkey AS suppkey, rev.revenue,
+             CAST(row_number() OVER (PARTITION BY s.s_nationkey
+                                     ORDER BY rev.revenue DESC, s.s_suppkey) AS INT) AS rk
+      FROM supplier s JOIN (
+        SELECT l_suppkey, {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+        FROM lineitem GROUP BY l_suppkey
+      ) rev ON rev.l_suppkey = s.s_suppkey
+    ) WHERE rk <= 3
+    """,
+)
+def window_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: aggregate FIRST (map-side combine shrinks the
+    window input from |lineitem| to |supplier|), then a cheap window."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.col("revenue").desc(), F.col("suppkey"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            "revenue",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "running_customer_total",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame (rowsBetween running sum) — SURVEY §2.5 gap coverage."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "lag_order_gap_days",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    """,
+)
+def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead coverage: days since the customer's previous order."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias("gap_days"),
+    )
+
+
+@_q(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — deterministic order+limit (TakeOrderedAndProject: no global
+    sort, each partition contributes its local top-k)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), "orderkey")
+        .limit(15)
+    )
+
+
+# ─── joins & set ops (J1-J3, U1-U2) ──────────────────────────────────────────
+
+@_q(
+    "anti_join_new_keys",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — frontier∖seen as left_anti (the crawl's 'not in seen_page_titles',
+    search_scrape.py:1348-1350); in CDC this is WHEN NOT MATCHED detection."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+@_q(
+    "semi_join_seen_keys",
+    """
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_seen_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — url∈seen as left_semi (search_scrape.py:330, :1048); the O(n·m)
+    driver list scan becomes a hash join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+    )
+
+
+@_q(
+    "union_dedup_state",
+    """
+    SELECT key_id FROM (
+      SELECT o_custkey AS key_id FROM orders
+      UNION SELECT user_id AS key_id FROM events
+    )
+    """,
+)
+def union_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — seen-state union of two sources, deduped (search_scrape.py:716-738)."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key_id"))
+    e = load(spark, sf_dir, "events").select(F.col("user_id").alias("key_id"))
+    return o.unionByName(e).distinct()
+
+
+@_q(
+    "except_unseen_keys",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def except_unseen_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — set difference (frontier minus seen)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@_q(
+    "j3_filename_roundtrip",
+    """
+    SELECT doc_id,
+           replace(replace('Doc ' || doc_id || '/' || source, ' ', '_'), '/', '-') || '.txt' AS filename,
+           replace(regexp_replace(
+             replace(replace('Doc ' || doc_id || '/' || source, ' ', '_'), '/', '-') || '.txt',
+             '\\.txt$', ''), '_', ' ') AS recovered
+    FROM documents
+    """,
+)
+def j3_filename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S6/F4 — the title↔filename mangle and its inverse
+    (search_scrape.py:418 / query_gpt.py:38-39)."""
+    d = load(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"), F.lit("/"), F.col("source"))
+    fname = F.concat(F.replace(F.replace(title, F.lit(" "), F.lit("_")), F.lit("/"), F.lit("-")), F.lit(".txt"))
+    recovered = F.replace(F.regexp_replace(fname, r"\.txt$", ""), F.lit("_"), F.lit(" "))
+    return d.select("doc_id", fname.alias("filename"), recovered.alias("recovered"))
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# Reference predicates & scalar functions (P1-P10, F1-F14)
+# ═══════════════════════════════════════════════════════════════════════════
+
+_URL_SYNTH_SQL = """
+    CASE p_partkey % 8
+      WHEN 0 THEN 'https://en.wikipedia.org/wiki/Article_' || p_partkey
+      WHEN 1 THEN '/wiki/File:Img' || p_partkey
+      WHEN 2 THEN 'https://en.wikipedia.org/wiki/Template:T' || p_partkey
+      WHEN 3 THEN '/wiki/Help:H' || p_partkey
+      WHEN 4 THEN 'https://other.site/page' || p_partkey
+      WHEN 5 THEN '/wiki/Diagram' || p_partkey || '.svg'
+      WHEN 6 THEN '#Section' || p_partkey
+      ELSE '/wiki/Article_' || p_partkey || '#frag'
+    END
+"""
+
+
+@_q(
+    "p1_url_pipeline",
+    f"""
+    WITH raw AS (SELECT p_partkey, {_URL_SYNTH_SQL} AS href FROM part),
+    abs AS (
+      SELECT p_partkey,
+             CASE WHEN href LIKE '/%' THEN 'https://en.wikipedia.org' || href
+                  ELSE href END AS url
+      FROM raw
+    ),
+    accepted AS (
+      SELECT p_partkey, url FROM abs
+      WHERE instr(url, 'File:') = 0 AND instr(url, 'Wikipedia:') = 0
+        AND instr(url, 'Template:') = 0 AND instr(url, 'Template_talk:') = 0
+        AND instr(url, 'Help:') = 0 AND instr(url, 'Category:') = 0
+        AND instr(url, 'Talk:') = 0 AND instr(url, 'User:') = 0
+        AND instr(url, 'User_talk:') = 0 AND instr(url, 'Special:Contributions') = 0
+        AND instr(url, 'edit') = 0
+        AND NOT ends_with(url, '.svg') AND NOT ends_with(url, '.jpg')
+        AND NOT ends_with(url, '.png') AND NOT ends_with(url, '.js')
+        AND NOT ends_with(url, '.mp3') AND NOT ends_with(url, '.mp4')
+        AND NOT starts_with(url, '#')
+        AND NOT (starts_with(url, 'http') AND instr(url, 'wikipedia.org') = 0)
+    )
+    SELECT p_partkey AS key, split_part(url, '#', 1) AS url FROM accepted
+    """,
+)
+def p1_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3+P4 — absolutize → 18-clause accept predicate → fragment strip,
+    over synthesized hrefs. One folded Catalyst predicate (no UDF)."""
+    p = load(spark, sf_dir, "part")
+    raw = p.select("p_partkey", F.expr(_URL_SYNTH_SQL).alias("href"))
+    absd = raw.select("p_partkey", absolutize(F.col("href")).alias("url"))
+    return (
+        absd.where(url_accept(F.col("url")))
+        .select(F.col("p_partkey").alias("key"), strip_fragment(F.col("url")).alias("url"))
+    )
+
+
+_DOC_TERMS = ["merge", "join", "window", "stream", "vector", "hash"]
+_DOC_TERMS_HITS_SQL = " + ".join(
+    f"(CASE WHEN instr(lower(text), '{t}') > 0 THEN 1 ELSE 0 END)" for t in _DOC_TERMS
+)
+
+
+@_q(
+    "p5_keyword_classifier",
+    f"""
+    SELECT doc_id, CAST({_DOC_TERMS_HITS_SQL} AS INT) AS hits,
+           ({_DOC_TERMS_HITS_SQL}) >= 2 AS passes
+    FROM documents
+    """,
+)
+def p5_keyword_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/A1/F14 — the ≥2-of-N containment classifier as Column exprs
+    (search_scrape.py:365-415; term list adapted to the documents corpus)."""
+    d = load(spark, sf_dir, "documents")
+    hits = keyword_hits(F.col("text"), _DOC_TERMS)
+    return d.select(
+        "doc_id", hits.cast("int").alias("hits"), (hits >= 2).alias("passes")
+    )
+
+
+@_q(
+    "f_string_composite",
+    """
+    SELECT doc_id,
+           translate(source, ' /', '_-') AS filename,
+           split_part(trim(text), ' ', 1) AS first_tok,
+           length(text) AS text_len,
+           upper(substr(lang, 1, 2)) AS lang_uc,
+           concat_ws('|', lang, source) AS tagline
+    FROM documents
+    """,
+)
+def f_string_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F8 composite: translate/trim/split/substr/concat_ws/upper."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.translate("source", " /", "_-").alias("filename"),
+        F.substring_index(F.trim(F.col("text")), " ", 1).alias("first_tok"),
+        F.length("text").cast("long").alias("text_len"),
+        F.upper(F.substring("lang", 1, 2)).alias("lang_uc"),
+        F.concat_ws("|", "lang", "source").alias("tagline"),
+    )
+
+
+@_q(
+    "a4_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+           CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def a4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + token counting (BPE-ish regex) — text-analysis primitive."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.word_count(F.col("text")).alias("n_words"),
+        textstats.punct_count(F.col("text")).alias("n_punct"),
+    )
+
+
+def _lang_count_sql(marker: str) -> str:
+    esc = marker.replace("'", "''")
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{esc}', ''))) / {len(marker)} AS BIGINT)"
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(_lang_count_sql(m) for m in markers)
+    for lang, markers in textstats.LANG_MARKERS.items()
+}
+_LANG_BEST_SQL = "greatest(" + ", ".join(f"({s})" for s in _LANG_SCORE_SQL.values()) + ")"
+_LANG_CASE_SQL = "CASE " + " ".join(
+    f"WHEN ({_LANG_SCORE_SQL[lang]}) = best THEN '{lang}'"
+    for lang in sorted(_LANG_SCORE_SQL)
+) + " ELSE 'und' END"
+
+
+@_q(
+    "lang_id_heuristic",
+    f"""
+    WITH scored AS (SELECT doc_id, text, {_LANG_BEST_SQL} AS best FROM documents)
+    SELECT doc_id,
+           CASE WHEN best > 0 THEN {_LANG_CASE_SQL} ELSE 'und' END AS pred_lang
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-hit argmax (ties → alphabetically first)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("pred_lang"))
+
+
+_QUALITY_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok,
+        CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+        {STOP_SQL} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+      round(greatest(least(
+        (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 0.4 ELSE 0.1 END)
+        + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 2.0, 0.4)
+        + 0.2
+        - least(CASE WHEN n_tok > 0 THEN n_punct / n_tok ELSE 0.0 END, 0.2)
+      , 1.0), 0.0), 4) AS quality
+    FROM t
+"""
+_STOP_SQL = " + ".join(_lang_count_sql(f" {w} ") for w in textstats.STOPWORDS)
+
+
+@_q("quality_scores", _QUALITY_SQL.replace("{STOP_SQL}", _STOP_SQL))
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword ratio − punctuation excess."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "doc_fingerprints",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint groups (shard-level exact dedup)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(textstats.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs")
+    )
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# Deduplication & similarity (training-data pipeline extensions)
+# ═══════════════════════════════════════════════════════════════════════════
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, map-side combinable (skew-safe)."""
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+def _shingle_cte() -> str:
+    """Shared DuckDB CTE: distinct 5-gram word shingles per doc (lead-based
+    sliding window — matches the Spark array-slice construction for docs
+    with ≥5 tokens; shorter docs yield no shingles on either side)."""
+    return r"""
+    toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+             unnest(generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')))) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, shingle FROM (
+        SELECT id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle,
+               lead(tok, 4) OVER w AS t4
+        FROM toks WHERE tok <> ''
+        WINDOW w AS (PARTITION BY id ORDER BY pos)
+      ) WHERE t4 IS NOT NULL
+    )"""
+
+
+_MINHASH_AGGS_SQL = ", ".join(
+    f"min({phash_sql('shingle', seed=i)}) AS h{i}" for i in range(16)
+)
+_BAND_COLS_SQL = ", ".join(
+    "md5(" + " || ',' || ".join(f"h{b * 4 + i}::varchar" for i in range(4)) + f") AS band{b}"
+    for b in range(4)
+)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_shingle_cte()},
+    sig AS (SELECT id, {_MINHASH_AGGS_SQL} FROM sh GROUP BY id),
+    banded AS (SELECT id, {_BAND_COLS_SQL} FROM sig),
+    stacked AS (
+      SELECT id, 0 AS band_no, band0 AS band_hash FROM banded
+      UNION ALL SELECT id, 1, band1 FROM banded
+      UNION ALL SELECT id, 2, band2 FROM banded
+      UNION ALL SELECT id, 3, band3 FROM banded
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM stacked a JOIN stacked b
+        ON a.band_no = b.band_no AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+      GROUP BY x.id, y.id
+    )
+    SELECT p.id_a, p.id_b,
+           round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM pairs p
+    JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes sa ON sa.id = p.id_a
+    JOIN sizes sb ON sb.id = p.id_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.4
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup pipeline with exact-Jaccard
+    verification (≥0.4). Candidate pairs come only from band-bucket
+    agreement — the scale path that avoids the all-pairs cross product."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, n=5)
+    sig = minhash_signatures(sh, k=16)
+    pairs = lsh_bucket_pairs(sig, k=16, bands=4)
+    j = jaccard_on_pairs(pairs, sh)
+    return j.where(F.col("jaccard") >= 0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_SIMHASH_BITSUM_SQL = ", ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+)
+_SIMHASH_VAL_SQL = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+
+
+@_q(
+    "simhash_fingerprints",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    hs AS (SELECT id, {phash_sql('tok')} AS h FROM toks WHERE tok <> ''),
+    bits AS (SELECT id, {_SIMHASH_BITSUM_SQL} FROM hs GROUP BY id)
+    SELECT id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash FROM bits
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (sign-sum over token hashes)."""
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> x[1] * x[2]), 'sum')"
+)
+_NORM_SQL = "sqrt(list_aggregate(list_transform(CAST({a} AS DOUBLE[]), x -> x * x), 'sum'))"
+_COS_SQL = (
+    f"({_DOT_SQL.format(a='{a}', b='{b}')}) / "
+    f"(({_NORM_SQL.format(a='{a}')}) * ({_NORM_SQL.format(a='{b}')}))"
+)
+
+
+@_q(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round({_COS_SQL.format(a='q.q_vec', b='c.embedding')}, 6) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors: broadcast queries, JVM-side
+    zip_with dot product, per-query top-k window."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, q, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@_q(
+    "emb_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.30
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (the block key is an
+    LSH bucket at scale). Threshold 0.30 fits the synthetic corpus'
+    similarity distribution (max ≈ 0.45)."""
+    from read_comp_data_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.30)
+
+
+@_q("ann_lsh_topk", None)  # approximate by design → rows-only check;
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (recall vs brute force asserted in pytest)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return lsh_ann_topk(emb, q, k=5, n_planes=8, dim=64)
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# W1 — the header-breadcrumb scanner, both implementations
+# ═══════════════════════════════════════════════════════════════════════════
+
+@_q("w1_sections_relational", W1_ORACLE_SQL)
+def w1_sections_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as pure relational algebra (plans/relational_w1.py)."""
+    return relational_sections(synth_docs(load(spark, sf_dir, "documents")))
+
+
+@_q("w1_sections_udf", W1_ORACLE_SQL)
+def w1_sections_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as the Arrow-vectorized pandas UDF (the ingest fast path). Same
+    oracle as the relational variant — the two implementations and the
+    DuckDB SQL all agree (also property-tested in pytest)."""
+    from read_comp_data_pipeline_spark.functions.extract import explode_sections
+
+    docs = synth_docs(load(spark, sf_dir, "documents"))
+    out = explode_sections(docs)
+    return out.select(
+        "doc_id", (F.col("section_no") + 1).cast("long").alias("section_no"), "heading", "text"
+    )
+
+
+@_q(
+    "page_metadata_struct",
+    """
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           substr(text, 1, 40) AS description
+    FROM documents
+    """,
+)
+def page_metadata_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/F10 — the 5-field metadata projection, here the two fields the
+    synthetic corpus supports (full HTML chains unit-tested in pytest)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.substring("text", 1, 40).alias("description"),
+    )
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# registry accessors (driver contract)
+# ═══════════════════════════════════════════════════════════════════════════
+
+def all_queries():
+    return {name: fn for name, (fn, _) in _REG.items()}
+
+
+def all_oracles():
+    return {name: sql for name, (_, sql) in _REG.items() if sql is not None}
