@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the engine's
+own metric: sustained change-events/sec of a full WAL replay through
+compaction → extraction → MERGE (BASELINE.json `metric`).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "events_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from read_comp_data_pipeline_spark.plans import queries as Q
+from read_comp_data_pipeline_spark.session import get_spark
+from read_comp_data_pipeline_spark.sources.wal import generate_change_events, write_wal
+from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "cdc_compact_latest",
+    "events_sessionize",
+    "window_top_suppliers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_fingerprints",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "w1_sections_relational",
+    "w1_sections_udf",
+    "p5_keyword_classifier",
+    "quality_scores",
+]
+
+# replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000"))
+BENCH_EPOCH_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH", "100000"))
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    # consume fully without collecting rows to the driver
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def bench_cdc_replay(spark, n_events: int, epoch_size: int, mode: str) -> tuple[float, float]:
+    """Returns (replay_secs, events_per_sec). Generation is excluded from
+    the timed window (the WAL is materialized to parquet first)."""
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    wal_path = os.path.join(tmp, "wal")
+    tbl_path = os.path.join(tmp, "target")
+    try:
+        wal = generate_change_events(
+            spark, n_events, n_keys=max(n_events // 8, 1), epoch_size=epoch_size
+        )
+        write_wal(wal, wal_path)
+        t0 = time.monotonic()
+        stats = run_ingest(spark, wal_path, tbl_path, n_buckets=32, mode=mode)
+        secs = time.monotonic() - t0
+        return secs, (stats.events_applied / secs if secs > 0 else 0.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    all_q = Q.all_queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(time_query(all_q[name], spark, sf_dir), 3)
+
+    cow_secs, cow_eps = bench_cdc_replay(spark, BENCH_EVENTS, BENCH_EPOCH_SIZE, "cow")
+    mor_secs, eps = bench_cdc_replay(spark, BENCH_EVENTS, BENCH_EPOCH_SIZE, "mor")
+    per_query["cdc_replay_cow"] = round(cow_secs, 3)
+    per_query["cdc_replay_mor"] = round(mor_secs, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_cdc_replay_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "events_per_sec": round(eps, 1),
+                "events_per_sec_cow": round(cow_eps, 1),
+                "replay_events": BENCH_EVENTS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,14 @@ def bucket_expr(n_buckets: int, key_cols: list[str] | None = None):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
 
 
+def _globs(dirs: list[str]) -> list[str]:
+    """Read file globs, not directories: leaf dirs from different snapshot
+    generations (data/e1/_b=0 vs data/e2/_b=3) would otherwise trip Spark's
+    partition-structure discovery (CONFLICTING_DIRECTORY_STRUCTURES). The
+    snapshot is the manifest — same role as Iceberg's file lists."""
+    return [os.path.join(d, "*.parquet") for d in dirs]
+
+
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project df onto ``schema``: cast matching columns, null-fill missing.
 
@@ -92,17 +100,35 @@ class HashMergeTable:
         schema: T.StructType,
         n_buckets: int = 16,
         key_cols: list[str] | None = None,
+        mode: str = "cow",
+        order_col: str = "seq",
     ) -> "HashMergeTable":
+        """``mode``:
+
+        * ``"cow"`` (copy-on-write): each MERGE rewrites the affected
+          buckets — read-optimized, write-amplified (every epoch that
+          touches a bucket rewrites it).
+        * ``"mor"`` (merge-on-read): each MERGE appends a bucket-partitioned
+          delta; reads compact base+deltas on the fly (last-writer-wins by
+          ``order_col``, deletes filtered); :meth:`compact_table` folds
+          deltas back into the base. Write-optimized — the CDC hot path at
+          high event rates, same trade Iceberg makes with position/equality
+          deletes vs data-file rewrites.
+        """
+        assert mode in ("cow", "mor")
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         snap = {
             "version": 0,
             "epoch": -1,
+            "mode": mode,
+            "order_col": order_col,
             "n_buckets": n_buckets,
             "key_cols": key_cols or KEY_COLS,
             "schemas": [json.loads(schema.json())],
             "current_schema_id": 0,
             "buckets": {},  # bucket -> {dir, schema_id, rows}
+            "deltas": [],  # ordered [{dir, schema_id, epoch}] (mor mode)
             "manifest": [],  # cumulative (partition, epoch) commit rows
             "metrics": [],
         }
@@ -160,10 +186,7 @@ class HashMergeTable:
 
     # -- read path ------------------------------------------------------------
 
-    def read(self, buckets: list[int] | None = None, at_snapshot: dict | None = None) -> DataFrame:
-        """Scan the table (optionally only ``buckets`` — manual partition
-        pruning; optionally at an old snapshot — time travel)."""
-        snap = at_snapshot or self._snapshot()
+    def _read_base(self, snap: dict, buckets: list[int] | None) -> DataFrame:
         cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
         entries = snap["buckets"]
         if buckets is not None:
@@ -179,11 +202,62 @@ class HashMergeTable:
         parts = []
         for sid, dirs in sorted(by_schema.items()):
             written = T.StructType.fromJson(snap["schemas"][sid])
-            parts.append(_align(self.spark.read.schema(written).parquet(*dirs), cur_schema))
+            parts.append(
+                _align(self.spark.read.schema(written).parquet(*_globs(dirs)), cur_schema)
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_deltas(self, snap: dict, buckets: list[int] | None) -> DataFrame | None:
+        """Union of delta files (mor mode), aligned to the current schema
+        with the ``op`` column retained. Bucket pruning = reading only the
+        ``_b=N`` subdirectories that exist for the wanted buckets."""
+        cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        by_schema: dict[int, list[str]] = {}
+        for d in snap.get("deltas", []):
+            base_dir = os.path.join(self.path, d["dir"])
+            if buckets is None:
+                leaf_buckets = [
+                    n for n in os.listdir(base_dir) if n.startswith("_b=")
+                ]
+            else:
+                leaf_buckets = [f"_b={b}" for b in buckets]
+            for n in leaf_buckets:
+                p = os.path.join(base_dir, n)
+                if os.path.isdir(p):
+                    by_schema.setdefault(d["schema_id"], []).append(p)
+        if not by_schema:
+            return None
+        out = None
+        with_op = T.StructType(list(cur_schema.fields) + [T.StructField("op", T.StringType(), True)])
+        for sid, dirs in sorted(by_schema.items()):
+            written = T.StructType.fromJson(snap["schemas"][sid])
+            written_op = T.StructType(list(written.fields) + [T.StructField("op", T.StringType(), True)])
+            part = _align(self.spark.read.schema(written_op).parquet(*_globs(dirs)), with_op)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def read(self, buckets: list[int] | None = None, at_snapshot: dict | None = None) -> DataFrame:
+        """Scan the table (optionally only ``buckets`` — manual partition
+        pruning; optionally at an old snapshot — time travel).
+
+        In mor mode the scan merges base + deltas: last-writer-wins per key
+        by ``order_col`` (skew-immune max_by compaction), deletes filtered.
+        """
+        snap = at_snapshot or self._snapshot()
+        base = self._read_base(snap, buckets)
+        if snap.get("mode", "cow") == "cow":
+            return base
+        deltas = self._read_deltas(snap, buckets)
+        if deltas is None:
+            return base
+        from read_comp_data_pipeline_spark.operators.compact import compact_latest
+
+        unioned = base.withColumn("op", F.lit("I")).unionByName(deltas)
+        merged = compact_latest(unioned, key_cols=snap["key_cols"], order_col=snap["order_col"])
+        return merged.where(F.col("op") != "D").drop("op")
 
     # -- schema evolution (metadata-only commit) -------------------------------
 
@@ -212,10 +286,18 @@ class HashMergeTable:
         src_seq_lo: int | None = None,
         src_seq_hi: int | None = None,
         op_col: str = "op",
+        affected_buckets: list[int] | None = None,
+        src_rows: int | None = None,
     ) -> dict[str, Any]:
         """Apply one compacted epoch slice. Source must have ≤1 row per key
         plus an ``op`` column ('I'/'U'/'D'); all non-op columns must exist in
         (or be castable to) the current table schema.
+
+        ``affected_buckets``/``src_rows`` are optional hints (computed
+        cheaply from the raw slice by the ingest loop — a pruned scan of the
+        key columns only) that let the MERGE run as a single Spark action:
+        without them the source lineage (which may contain the expensive
+        extraction UDF) would be executed once per metadata query.
 
         Returns a stats dict; skips (idempotently) if ``epoch`` was already
         committed.
@@ -224,46 +306,47 @@ class HashMergeTable:
         snap = self._snapshot()
         if epoch <= snap["epoch"]:
             return {"skipped": True, "epoch": epoch, "rows_applied": 0}
+        if snap.get("mode", "cow") == "mor":
+            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows)
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
         cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
 
         src = source.withColumn("_b", bucket_expr(n_buckets, key_cols))
-        # The source slice is one epoch → small relative to the table; keep
-        # it around for the bucket list, the anti-join and the write.
-        src = src.persist()
-        try:
+        if affected_buckets is not None:
+            affected = list(affected_buckets)
+        else:
             affected = [r["_b"] for r in src.select("_b").distinct().collect()]
-            if not affected:
-                stats = self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0)
-                return stats
+        if not affected:
+            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0)
 
-            # MERGE arms, relationally:
-            #   kept    = target(affected buckets) ANTI JOIN source-keys
-            #   applied = source WHERE op != 'D'
-            tgt = self.read(buckets=affected, at_snapshot=snap)
-            kept = tgt.join(src.select(*key_cols), on=key_cols, how="left_anti")
-            applied = _align(src.where(F.col(op_col) != "D"), cur_schema)
-            merged = (
-                kept.unionByName(applied)
-                .withColumn("_b", bucket_expr(n_buckets, key_cols))
-            )
+        # MERGE arms, relationally:
+        #   kept    = target(affected buckets) ANTI JOIN source-keys
+        #   applied = source WHERE op != 'D'
+        tgt = self.read(buckets=affected, at_snapshot=snap)
+        kept = tgt.join(src.select(*key_cols), on=key_cols, how="left_anti")
+        applied = _align(src.where(F.col(op_col) != "D"), cur_schema)
+        merged = (
+            kept.unionByName(applied)
+            .withColumn("_b", bucket_expr(n_buckets, key_cols))
+        )
 
-            data_dir = f"data/e{epoch:010d}"
-            out_path = os.path.join(self.path, data_dir)
-            merged = merged.persist()
-            try:
-                bucket_rows = {
-                    int(r["_b"]): int(r["cnt"])
-                    for r in merged.groupBy("_b").agg(F.count("*").alias("cnt")).collect()
-                }
-                merged.write.mode("overwrite").partitionBy("_b").parquet(out_path)
-            finally:
-                merged.unpersist()
-            applied_rows = int(src.count())
-        finally:
-            src.unpersist()
+        data_dir = f"data/e{epoch:010d}"
+        out_path = os.path.join(self.path, data_dir)
+        # one shuffle keyed by bucket → exactly one file per bucket dir
+        # (without it: shuffle_partitions × n_buckets tiny files, and the
+        # next epoch's read pays for every one of them)
+        (
+            merged.repartition(len(affected), F.col("_b"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(out_path)
+        )
+        # per-bucket lineage counts from the committed files: reading the
+        # partition column + footers only, never re-running the source plan
+        bucket_rows = self._written_bucket_counts(out_path)
+        applied_rows = int(src_rows) if src_rows is not None else sum(bucket_rows.values())
 
         # new snapshot: affected buckets point at the new dirs; empty ones drop
         new_buckets = dict(snap["buckets"])
@@ -316,6 +399,118 @@ class HashMergeTable:
             "buckets_touched": len(affected),
             "secs": secs,
         }
+
+    def _merge_mor(
+        self, snap, source: DataFrame, epoch: int, lo, hi, t0, src_rows: int | None = None
+    ) -> dict[str, Any]:
+        """Merge-on-read arm: append the compacted slice (op retained) as a
+        bucket-partitioned delta — no target read, no join, no rewrite.
+        One shuffle-free write per epoch; reads reconcile (see read())."""
+        n_buckets = snap["n_buckets"]
+        key_cols = snap["key_cols"]
+        cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        with_op_schema = T.StructType(
+            list(cur_schema.fields) + [T.StructField("op", T.StringType(), True)]
+        )
+        with_op = _align(source, with_op_schema)
+        delta = with_op.withColumn("_b", bucket_expr(n_buckets, key_cols))
+        data_dir = f"delta/e{epoch:010d}"
+        out_path = os.path.join(self.path, data_dir)
+        # single action: shuffle keyed by bucket → one file per bucket dir
+        (
+            delta.repartition(n_buckets, F.col("_b"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(out_path)
+        )
+        bucket_rows = self._written_bucket_counts(out_path)
+        if sum(bucket_rows.values()) == 0:
+            return self._commit_noop(snap, epoch, lo, hi, t0)
+        applied_rows = int(src_rows) if src_rows is not None else sum(bucket_rows.values())
+
+        committed_ts = time.time()
+        secs = time.monotonic() - t0
+        snap["deltas"].append(
+            {"dir": data_dir, "schema_id": snap["current_schema_id"], "epoch": epoch}
+        )
+        snap["manifest"].extend(
+            {
+                "partition": int(b),
+                "epoch": epoch,
+                "committed_ts": committed_ts,
+                "rows_applied": rows,
+                "src_seq_lo": lo,
+                "src_seq_hi": hi,
+            }
+            for b, rows in sorted(bucket_rows.items())
+        )
+        snap["metrics"].extend(
+            {
+                "epoch": epoch,
+                "partition": int(b),
+                "events": rows,
+                "bytes": 0,
+                "secs": secs,
+                "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
+                "lag_events": 0,
+            }
+            for b, rows in sorted(bucket_rows.items())
+        )
+        snap["epoch"] = epoch
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {
+            "skipped": False,
+            "epoch": epoch,
+            "rows_applied": applied_rows,
+            "buckets_touched": len(bucket_rows),
+            "secs": secs,
+        }
+
+    def _written_bucket_counts(self, out_path: str) -> dict[int, int]:
+        """Per-bucket row counts of a just-written bucket-partitioned dir:
+        reads the partition column + parquet footers only."""
+        if not any(n.startswith("_b=") for n in os.listdir(out_path)):
+            return {}
+        return {
+            int(r["_b"]): int(r["cnt"])
+            for r in self.spark.read.parquet(out_path)
+            .groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    def compact_table(self) -> dict[str, Any]:
+        """Maintenance compaction (mor mode): fold all deltas into the base
+        and clear them. Runs off the hot ingest path (every N epochs); the
+        analogue of Iceberg's rewrite_data_files."""
+        t0 = time.monotonic()
+        snap = self._snapshot()
+        if snap.get("mode", "cow") != "mor" or not snap.get("deltas"):
+            return {"skipped": True}
+        n_buckets = snap["n_buckets"]
+        merged = self.read(at_snapshot=snap).withColumn(
+            "_b", bucket_expr(n_buckets, snap["key_cols"])
+        )
+        data_dir = f"data/c{snap['version']:010d}"
+        (
+            merged.repartition(n_buckets, F.col("_b"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(os.path.join(self.path, data_dir))
+        )
+        bucket_rows = self._written_bucket_counts(os.path.join(self.path, data_dir))
+        snap["buckets"] = {
+            str(b): {
+                "dir": f"{data_dir}/_b={b}",
+                "schema_id": snap["current_schema_id"],
+                "rows": rows,
+            }
+            for b, rows in bucket_rows.items()
+            if rows > 0
+        }
+        snap["deltas"] = []
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {"skipped": False, "secs": time.monotonic() - t0, "rows": sum(bucket_rows.values())}
 
     def _commit_noop(self, snap, epoch, lo, hi, t0) -> dict[str, Any]:
         snap["epoch"] = epoch

@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from read_comp_data_pipeline_spark.functions.hashing import phash
-
 
 def dot_expr(a: Column, b: Column) -> Column:
     """JVM-side dot product: fold over zip_with in doubles (element order —
@@ -82,16 +80,19 @@ def brute_force_topk(
     )
 
 
+def _plane_component(plane: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    (md5-hash('p:d') % 2001 - 1000)/1000. Computed driver-side (tiny,
+    deterministic) so the per-row expression is a plain literal-array dot
+    product instead of 64 hash expressions per plane."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d of plane p is
-    (phash('p:d') % 2001 - 1000)/1000 ∈ [-1, 1]. Sign of the dot product
-    is one signature bit. No training, reproducible across runs/engines."""
-    comps = F.array(
-        *[
-            ((phash(F.lit(f"{plane}:{d}")) % 2001 - 1000) / 1000.0).cast("double")
-            for d in range(dim)
-        ]
-    )
+    comps = F.array(*[F.lit(_plane_component(plane, d)) for d in range(dim)])
     return (dot_expr(vec, comps) >= 0).cast("int")
 
 

@@ -78,15 +78,20 @@ def run_ingest(
     max_epoch: int | None = None,
     fail_after_epoch: int | None = None,
     extract: bool = True,
+    mode: str = "cow",
+    compact_every: int = 10,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
 
     Resumable and idempotent: the table's snapshot records the last
     committed epoch; already-committed epochs are skipped (exactly-once).
     ``fail_after_epoch`` injects a crash for the kill-and-resume tests.
+
+    ``mode='mor'`` appends per-epoch deltas (write-optimized hot path) and
+    folds them into the base every ``compact_every`` epochs.
     """
     if not HashMergeTable.exists(table_path):
-        HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets)
+        HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets, mode=mode)
     table = HashMergeTable(spark, table_path)
 
     hi_epoch = wal_src.max_epoch(spark, wal_path) if max_epoch is None else max_epoch
@@ -102,13 +107,28 @@ def run_ingest(
         compacted = compact_latest(slice_df)  # ≤1 row per key, skew-immune
         src = prepare_target_rows(compacted) if extract else compacted
 
+        # cheap metadata pass over the pruned slice (key columns only, no
+        # UDF lineage): seq range, event count, affected-bucket hint — lets
+        # the MERGE itself run as a single Spark action.
+        from read_comp_data_pipeline_spark.operators.merge import bucket_expr
+
         rng = slice_df.agg(
-            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+            F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.count("*").alias("cnt")
         ).first()
+        affected = None
+        if mode == "cow":
+            affected = [
+                int(r["_b"])
+                for r in slice_df.select(
+                    bucket_expr(table.n_buckets).alias("_b")
+                ).distinct().collect()
+            ]
         res = table.merge(
             src, epoch,
             src_seq_lo=None if rng["lo"] is None else int(rng["lo"]),
             src_seq_hi=None if rng["hi"] is None else int(rng["hi"]),
+            affected_buckets=affected,
+            src_rows=int(rng["cnt"]),
         )
         if res.get("skipped"):
             stats.epochs_skipped += 1
@@ -116,6 +136,8 @@ def run_ingest(
             stats.epochs_applied += 1
             stats.events_applied += res["rows_applied"]
             stats.per_epoch.append(res)
+            if mode == "mor" and compact_every and (epoch + 1) % compact_every == 0:
+                table.compact_table()
         if fail_after_epoch is not None and epoch >= fail_after_epoch:
             raise RuntimeError(f"injected failure after epoch {epoch}")
 

@@ -144,3 +144,27 @@ def test_delete_keys_absent(spark, wal_path, tmp_path):
     deleted = last_op.where(F.col("op") == "D")
     assert deleted.count() > 0  # generator produced trailing deletes
     assert final.join(deleted, on=["repo", "path"], how="left_semi").count() == 0
+
+
+def test_mor_mode_matches_cow_and_oracle(spark, wal_path, tmp_path):
+    cow = str(tmp_path / "cow")
+    mor = str(tmp_path / "mor")
+    run_ingest(spark, wal_path, cow, n_buckets=8, mode="cow")
+    run_ingest(spark, wal_path, mor, n_buckets=8, mode="mor", compact_every=3)
+    dc = _state_digest(HashMergeTable(spark, cow).read())
+    dm = _state_digest(HashMergeTable(spark, mor).read())
+    assert dc == dm
+    expected = _final_expected(spark, wal_path)
+    assert dm == _state_digest(expected)
+
+
+def test_mor_resume_with_pending_deltas(spark, wal_path, tmp_path):
+    """Kill between delta commits (deltas not yet folded into the base) →
+    resume → identical final state."""
+    mor = str(tmp_path / "mor")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_ingest(spark, wal_path, mor, n_buckets=8, mode="mor",
+                   compact_every=100, fail_after_epoch=1)
+    run_ingest(spark, wal_path, mor, n_buckets=8, mode="mor", compact_every=100)
+    expected = _final_expected(spark, wal_path)
+    assert _state_digest(HashMergeTable(spark, mor).read()) == _state_digest(expected)
