@@ -27,13 +27,35 @@ from pyspark.sql import functions as F
 from read_comp_data_pipeline_spark.schemas import KEY_COLS
 
 
-def compact_latest(df: DataFrame, key_cols: list[str] | None = None, order_col: str = "seq") -> DataFrame:
+def compact_latest(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_col: str = "seq",
+    strategy: str = "broadcast_semi",
+) -> DataFrame:
     """Keep the single latest row per key (max ``order_col``).
 
-    One aggregate, map-side combinable, skew-immune. Output columns match
-    the input (key cols + all payload cols).
+    ``strategy``:
+
+    * ``"broadcast_semi"`` (default — the hot-path shape): aggregate only
+      ``(key, max(order))`` — a hash aggregate over pruned columns, tiny
+      and map-side combinable — then broadcast it and semi-join the full
+      rows on (key, order). **The payload (multi-KB content strings) never
+      shuffles and never sorts**; the only exchange carries key+seq pairs.
+      Valid while an epoch's distinct-key set fits a broadcast (engine
+      epochs are sized for this; at 10^7+ keys/epoch use ``"agg"``).
+    * ``"agg"``: single ``max_by(struct(payload), order)`` aggregate.
+      Shuffles full rows once; Catalyst compiles struct-buffer max_by to a
+      SortAggregate (two full-data sorts) — correct and broadcast-free,
+      but strictly heavier; the fallback when keys don't fit a broadcast.
+
+    Requires ``order_col`` values unique per key (WAL seq is globally
+    unique). Output columns match the input.
     """
     key_cols = key_cols or KEY_COLS
+    if strategy == "broadcast_semi":
+        latest = df.groupBy(*key_cols).agg(F.max(order_col).alias(order_col))
+        return df.join(F.broadcast(latest), on=[*key_cols, order_col], how="left_semi")
     payload = [c for c in df.columns if c not in key_cols]
     packed = F.struct(*[F.col(c) for c in payload])
     out = df.groupBy(*key_cols).agg(F.max_by(packed, F.col(order_col)).alias("_p"))

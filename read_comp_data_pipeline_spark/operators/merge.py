@@ -256,7 +256,11 @@ class HashMergeTable:
         from read_comp_data_pipeline_spark.operators.compact import compact_latest
 
         unioned = base.withColumn("op", F.lit("I")).unionByName(deltas)
-        merged = compact_latest(unioned, key_cols=snap["key_cols"], order_col=snap["order_col"])
+        # strategy="agg": the reconcile set here is table-sized — its key
+        # set cannot be assumed broadcastable (unlike a single epoch's)
+        merged = compact_latest(
+            unioned, key_cols=snap["key_cols"], order_col=snap["order_col"], strategy="agg"
+        )
         return merged.where(F.col("op") != "D").drop("op")
 
     # -- schema evolution (metadata-only commit) -------------------------------
@@ -468,15 +472,24 @@ class HashMergeTable:
         }
 
     def _written_bucket_counts(self, out_path: str) -> dict[int, int]:
-        """Per-bucket row counts of a just-written bucket-partitioned dir:
-        reads the partition column + parquet footers only."""
-        if not any(n.startswith("_b=") for n in os.listdir(out_path)):
-            return {}
-        return {
-            int(r["_b"]): int(r["cnt"])
-            for r in self.spark.read.parquet(out_path)
-            .groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
+        """Per-bucket row counts of a just-written bucket-partitioned dir,
+        from parquet footers via pyarrow — no Spark job, no data read (the
+        same way Iceberg serves counts from manifest stats). Keeps the hot
+        ingest path at exactly one Spark job per epoch."""
+        import pyarrow.parquet as pq
+
+        counts: dict[int, int] = {}
+        for name in os.listdir(out_path):
+            if not name.startswith("_b="):
+                continue
+            b = int(name.split("=", 1)[1])
+            total = 0
+            bdir = os.path.join(out_path, name)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            counts[b] = total
+        return counts
 
     def compact_table(self) -> dict[str, Any]:
         """Maintenance compaction (mor mode): fold all deltas into the base

@@ -57,6 +57,12 @@ TARGET_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("content_sha", T.StringType(), True),
         T.StructField("seq", T.LongType(), True),  # lineage: applying event
+        # per-document analysis computed at ingest (classifier / quality /
+        # token count / fingerprint — SURVEY §2.2 P5, training-data ops)
+        T.StructField("kw_hits", T.IntegerType(), True),
+        T.StructField("quality", T.DoubleType(), True),
+        T.StructField("n_tokens", T.LongType(), True),
+        T.StructField("fingerprint", T.StringType(), True),
     ]
 )
 

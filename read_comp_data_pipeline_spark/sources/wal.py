@@ -183,17 +183,55 @@ def write_wal(df: DataFrame, path: str) -> None:
 def read_epoch(spark: SparkSession, path: str, epoch: int) -> DataFrame:
     """Bounded micro-batch read of one epoch (Trigger.AvailableNow-style).
 
-    ``epoch`` is a partition column → Catalyst partition-prunes the scan;
-    verify with ``.explain`` → ``PartitionFilters: [isnotnull(epoch), (epoch = N)]``.
+    Reads the epoch's partition directory directly — pruning by
+    construction — and infers the schema from that epoch's own files, so a
+    WAL whose later epochs carry evolved columns (FIXTURES.md §3) presents
+    each slice with its native schema (the ingest loop evolves the target
+    transactionally before applying it).
     """
-    return (
-        spark.read.schema(WAL_SCHEMA).parquet(path).where(F.col("epoch") == epoch)
-    )
+    import os
+
+    edir = os.path.join(path, f"epoch={epoch}")
+    return spark.read.parquet(edir).withColumn("epoch", F.lit(epoch).cast("long"))
 
 
 def max_epoch(spark: SparkSession, path: str) -> int:
-    row = spark.read.parquet(path).agg(F.max("epoch").alias("m")).first()
-    return int(row["m"]) if row["m"] is not None else -1
+    import os
+
+    epochs = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(path)
+        if n.startswith("epoch=")
+    ]
+    return max(epochs) if epochs else -1
+
+
+def epoch_stats(path: str, epoch: int) -> tuple[int | None, int | None, int]:
+    """(seq_lo, seq_hi, n_events) for one epoch partition, from parquet
+    footers via pyarrow — statistics only, no Spark job, no data read.
+    The WAL's epoch dirs are its manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    edir = os.path.join(path, f"epoch={epoch}")
+    lo: int | None = None
+    hi: int | None = None
+    n = 0
+    if not os.path.isdir(edir):
+        return None, None, 0
+    for f in os.listdir(edir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(edir, f)).metadata
+        n += md.num_rows
+        seq_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["seq"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(seq_idx).statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi, n
 
 
 def expected_final_state(wal: DataFrame) -> DataFrame:

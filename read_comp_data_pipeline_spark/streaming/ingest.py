@@ -34,14 +34,21 @@ from read_comp_data_pipeline_spark.sources import wal as wal_src
 from read_comp_data_pipeline_spark.streaming.evolve import ensure_evolved
 
 
-def prepare_target_rows(slice_df: DataFrame) -> DataFrame:
+def prepare_target_rows(slice_df: DataFrame, enrich: bool = True) -> DataFrame:
     """Transform a compacted WAL slice into target-table rows.
 
     Extraction fields (title/heading/text) mirror the reference's output
     contract: ``heading`` keeps the ``" - "``-joined breadcrumb encoding the
     downstream consumer splits on (``query_gpt.py:52,:59``; SURVEY §3 EP3).
     Deletes pass through untouched (op column drives the MERGE arm).
+
+    ``enrich`` adds the per-document analysis columns a training-data
+    pipeline computes at ingest (the reference ran its 13-term classifier on
+    every page, search_scrape.py:1088-1106): keyword hit count, quality
+    score, token count, normalized fingerprint. All JVM Column expressions.
     """
+    from read_comp_data_pipeline_spark.functions.classify import keyword_hits
+
     is_del = F.col("op") == "D"
     df = slice_df.withColumn(
         "title", F.when(is_del, F.lit(None)).otherwise(title_expr(F.col("content"), F.col("path")))
@@ -54,7 +61,57 @@ def prepare_target_rows(slice_df: DataFrame) -> DataFrame:
         .drop("_s1")
         .withColumn("content_sha", F.when(is_del, F.lit(None)).otherwise(content_sha_expr(F.col("content"))))
     )
+    if enrich:
+        # ingest-grade variants: constant passes over the content, no
+        # array-materializing regexes (operators/textstats.py keeps the
+        # full-fidelity versions for the analysis catalog — at 10^6+ rows
+        # per epoch, regexp_extract_all's per-row token arrays are pure GC
+        # pressure the hot path can't afford)
+        live = lambda c: F.when(is_del, F.lit(None)).otherwise(c)  # noqa: E731
+        content = F.col("content")
+        n_tokens = (
+            F.length(content) - F.length(F.replace(content, F.lit(" "), F.lit(""))) + 1
+        ).cast("long")
+        quality = F.round(
+            F.least(
+                F.lit(1.0),
+                F.when((F.length(content) >= 200) & (F.length(content) <= 50000), 0.5)
+                .otherwise(0.2)
+                + F.least(keyword_hits(content).cast("double") / 10.0, F.lit(0.5)),
+            ),
+            4,
+        )
+        df = (
+            df.withColumn("kw_hits", live(keyword_hits(content).cast("int")))
+            .withColumn("quality", live(quality))
+            .withColumn("n_tokens", live(n_tokens))
+            .withColumn("fingerprint", live(F.md5(content)))
+        )
     return df
+
+
+def validate_slice(slice_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a WAL slice into (good, quarantined) rows.
+
+    Replaces the reference's retry-counter failure handling
+    (``search_scrape.py:241-306`` — 3 attempts, 300 s sleeps, then a global
+    int counter) with a dead-letter relation: malformed events are appended
+    to the table's quarantine area with an error tag and never block the
+    epoch (SURVEY §2.1 S4/S5). Transient task failures are Spark's own
+    ``spark.task.maxFailures`` retry; quarantine is for *data* errors.
+    """
+    bad_op = ~F.col("op").isin("I", "U", "D")
+    null_key = F.col("repo").isNull() | F.col("path").isNull()
+    null_content = (F.col("op") != "D") & F.col("content").isNull()
+    err = (
+        F.when(bad_op, F.lit("invalid op"))
+        .when(null_key, F.lit("null key"))
+        .when(null_content, F.lit("null content for upsert"))
+    )
+    tagged = slice_df.withColumn("error", err)
+    good = tagged.where(F.col("error").isNull()).drop("error")
+    bad = tagged.where(F.col("error").isNotNull()).withColumn("attempts", F.lit(1))
+    return good, bad
 
 
 @dataclass
@@ -80,6 +137,7 @@ def run_ingest(
     extract: bool = True,
     mode: str = "cow",
     compact_every: int = 10,
+    quarantine: bool = False,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
 
@@ -94,6 +152,11 @@ def run_ingest(
         HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets, mode=mode)
     table = HashMergeTable(spark, table_path)
 
+    # CPU-heavy per-row extraction wants more, smaller scan splits than the
+    # I/O-oriented 128MB default — the scan IS the UDF's parallelism now
+    # (no pre-UDF repartition shuffle).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+
     hi_epoch = wal_src.max_epoch(spark, wal_path) if max_epoch is None else max_epoch
     stats = IngestStats()
     t0 = time.monotonic()
@@ -101,20 +164,30 @@ def run_ingest(
     for epoch in range(table.last_epoch + 1, hi_epoch + 1):
         slice_df = wal_src.read_epoch(spark, wal_path, epoch)
 
+        if quarantine:
+            slice_df, bad = validate_slice(slice_df)
+            bad.write.mode("overwrite").parquet(
+                f"{table_path}/quarantine/e{epoch:010d}"
+            )
+
         # transactional schema evolution BEFORE the wave that needs it
         ensure_evolved(table, slice_df.schema)
 
-        compacted = compact_latest(slice_df)  # ≤1 row per key, skew-immune
+        # broadcast_semi compaction: only (key, seq) pairs shuffle; the
+        # content payload flows scan → semi-join filter → extraction UDF →
+        # bucket write with exactly ONE full-row shuffle (the bucket
+        # layout). UDF parallelism comes from the scan splits — sized by
+        # maxPartitionBytes above, no repartition needed.
+        compacted = compact_latest(slice_df)
         src = prepare_target_rows(compacted) if extract else compacted
 
-        # cheap metadata pass over the pruned slice (key columns only, no
-        # UDF lineage): seq range, event count, affected-bucket hint — lets
-        # the MERGE itself run as a single Spark action.
+        # slice metadata from parquet footers (pyarrow, no Spark job): seq
+        # range + event count; plus the affected-bucket hint for COW (a
+        # pruned key-columns-only scan). The MERGE itself is then a single
+        # Spark action per epoch — the extraction-UDF lineage runs once.
         from read_comp_data_pipeline_spark.operators.merge import bucket_expr
 
-        rng = slice_df.agg(
-            F.min("seq").alias("lo"), F.max("seq").alias("hi"), F.count("*").alias("cnt")
-        ).first()
+        lo, hi, cnt = wal_src.epoch_stats(wal_path, epoch)
         affected = None
         if mode == "cow":
             affected = [
@@ -125,10 +198,10 @@ def run_ingest(
             ]
         res = table.merge(
             src, epoch,
-            src_seq_lo=None if rng["lo"] is None else int(rng["lo"]),
-            src_seq_hi=None if rng["hi"] is None else int(rng["hi"]),
+            src_seq_lo=lo,
+            src_seq_hi=hi,
             affected_buckets=affected,
-            src_rows=int(rng["cnt"]),
+            src_rows=cnt,
         )
         if res.get("skipped"):
             stats.epochs_skipped += 1
@@ -143,3 +216,14 @@ def run_ingest(
 
     stats.secs = time.monotonic() - t0
     return stats
+
+
+def read_quarantine(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Dead-letter rows collected across epochs (None if no quarantine)."""
+    import os
+
+    qdir = os.path.join(table_path, "quarantine")
+    if not os.path.isdir(qdir):
+        return None
+    dirs = [os.path.join(qdir, d, "*.parquet") for d in sorted(os.listdir(qdir))]
+    return spark.read.parquet(*dirs) if dirs else None

@@ -1,0 +1,73 @@
+"""Multimodal plumbing: binary columns, typed metadata, mapInPandas
+decode/feature-extract/frame-sample (decode stubbed, plumbing real)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    decode_and_featurize,
+    frame_sample,
+    synth_assets,
+)
+from read_comp_data_pipeline_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def assets(spark, sf_dir):
+    return synth_assets(load(spark, sf_dir, "documents"))
+
+
+def test_asset_schema_and_kinds(assets):
+    # same names and types (nullability flags differ between expression
+    # output and the declared contract — not load-bearing)
+    assert [(f.name, f.dataType) for f in assets.schema.fields] == [
+        (f.name, f.dataType) for f in ASSET_SCHEMA.fields
+    ]
+    kinds = {r["kind"] for r in assets.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    # images carry width/height, audio carries sample_rate
+    img = assets.where(F.col("kind") == "image")
+    assert img.where(F.col("meta.width").isNull()).count() == 0
+    aud = assets.where(F.col("kind") == "audio")
+    assert aud.where(F.col("meta.sample_rate").isNull()).count() == 0
+
+
+def test_featurize_deterministic_and_shaped(assets):
+    out1 = decode_and_featurize(assets, fake=True, dim=8)
+    out2 = decode_and_featurize(assets, fake=True, dim=8)
+    rows1 = {r["asset_id"]: r for r in out1.collect()}
+    rows2 = {r["asset_id"]: r for r in out2.collect()}
+    assert rows1.keys() == rows2.keys()
+    some = next(iter(rows1.values()))
+    assert len(some["feature"]) == 8
+    assert all(0.0 <= v < 1.0 for v in some["feature"])
+    for k in rows1:
+        assert rows1[k]["feature"] == rows2[k]["feature"]
+        assert rows1[k]["n_bytes"] > 0
+
+
+def test_decode_without_codec_raises(assets):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_and_featurize(assets, fake=False).collect()
+
+
+def test_frame_sample_counts(assets):
+    frames = frame_sample(assets, every_ms=10_000, fake=True)
+    per_video = {r["asset_id"]: r["n"] for r in
+                 frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
+    meta = {
+        r["asset_id"]: r["duration_ms"]
+        for r in assets.where(F.col("kind") == "video")
+        .select("asset_id", F.col("meta.duration_ms").alias("duration_ms")).collect()
+    }
+    # every sampled video has exactly duration_ms // every_ms frames
+    for aid, n in per_video.items():
+        assert n == meta[aid] // 10_000
+    # frame ids deterministic
+    f2 = frame_sample(assets, every_ms=10_000, fake=True)
+    assert sorted(r["frame_sha"] for r in frames.collect()) == sorted(
+        r["frame_sha"] for r in f2.collect()
+    )

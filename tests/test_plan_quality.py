@@ -1,0 +1,114 @@
+"""Physical-plan assertions (SURVEY §4): pushdown reaches the scans,
+dim joins broadcast, compaction is a partial-aggregate (not a window),
+and no row-at-a-time Python UDF ever appears (Arrow only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.operators.compact import compact_latest
+from read_comp_data_pipeline_spark.plans.queries import (
+    q1_pricing_summary,
+    q5_region_revenue,
+)
+from read_comp_data_pipeline_spark.sources.tables import load
+from read_comp_data_pipeline_spark.streaming.ingest import prepare_target_rows
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: unused wide columns never read
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    plan = _plan(q5_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_compaction_broadcast_semi_never_shuffles_payload(spark, sf_dir):
+    """Default compaction: tiny (key, max seq) hash-agg broadcast + semi
+    join — no Window, no sort, no full-row exchange."""
+    ev = load(spark, sf_dir, "events").withColumnRenamed("event_id", "seq")
+    df = compact_latest(ev, key_cols=["user_id"], order_col="seq")
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on pruned cols
+    assert "SortAggregate" not in plan
+
+
+def test_compaction_agg_strategy_is_partial_agg_not_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumnRenamed("event_id", "seq")
+    df = compact_latest(ev, key_cols=["user_id"], order_col="seq", strategy="agg")
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert plan.count("Aggregate") >= 2  # partial (map-side) + final
+
+
+def test_extraction_is_arrow_not_row_python(spark, sf_dir):
+    """input_hint: vectorized pandas/Arrow UDFs, never per-row Python.
+    ArrowEvalPython = pandas UDF; BatchEvalPython = row-at-a-time UDF."""
+    docs = load(spark, sf_dir, "documents").limit(10).select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.col("source").alias("path"),
+        F.lit("c").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    plan = _plan(prepare_target_rows(docs))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_epoch_read_prunes_partitions(spark, tmp_path):
+    """Epoch slicing reads only the epoch's own directory (pruning by
+    construction: the path addresses exactly one partition)."""
+    from read_comp_data_pipeline_spark.sources.wal import (
+        generate_change_events,
+        read_epoch,
+        write_wal,
+    )
+
+    p = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 600, n_keys=60, epoch_size=200), p)
+    df = read_epoch(spark, p, 1)
+    plan = _plan(df.select("seq"))
+    assert "epoch=1" in plan
+    assert "epoch=0" not in plan and "epoch=2" not in plan
+    assert df.count() == 200
+
+
+def test_merge_reads_only_affected_buckets(spark, tmp_path):
+    """Bucket pruning: a read restricted to buckets only lists those
+    buckets' files (manual partition pruning via the snapshot manifest)."""
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+    from read_comp_data_pipeline_spark.sources.wal import generate_change_events, write_wal
+    from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
+
+    p = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 1000, n_keys=100, epoch_size=1000), p)
+    tbl_path = str(tmp_path / "t")
+    run_ingest(spark, p, tbl_path, n_buckets=8)
+    t = HashMergeTable(spark, tbl_path)
+    files = t.read(buckets=[0, 1]).inputFiles()
+    assert files
+    assert all("_b=0" in f or "_b=1" in f for f in files)
+    all_files = t.read().inputFiles()
+    assert any("_b=2" in f for f in all_files)  # other buckets exist

@@ -1,0 +1,156 @@
+"""Quality checks for the approximate operators: LSH-ANN recall vs brute
+force, MinHash-LSH vs exact Jaccard ground truth, W1 UDF ≡ relational."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.functions.extract import scan_sections
+from read_comp_data_pipeline_spark.operators.dedup import (
+    jaccard_on_pairs,
+    lsh_bucket_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    shingles,
+)
+from read_comp_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+from read_comp_data_pipeline_spark.plans.relational_w1 import relational_sections
+from read_comp_data_pipeline_spark.sources.tables import load
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, q, k=5)
+    # fewer planes → bigger buckets → higher recall; this synthetic corpus
+    # is weakly clustered (max pairwise cosine ≈ 0.45), so 4 planes
+    approx = lsh_ann_topk(emb, q, k=5, n_planes=4, dim=64)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"recall@5 {recall}"
+
+
+def _py_jaccard(t1: str, t2: str, n=5):
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    docs = [
+        (0, base),
+        (1, base.replace("dog", "cat", 1)),          # near-dup of 0
+        (2, base),                                    # exact dup of 0
+        (3, "completely different words entirely unrelated content here " * 6),
+        (4, "another unrelated document with its own vocabulary set " * 6),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    found = minhash_near_dups(df, n=5, k=16, bands=4, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_lsh_jaccard_matches_exact_python(spark):
+    texts = [
+        (i, f"shared prefix tokens for all documents here variant {i % 3} "
+            "middle section common words across docs "
+            f"tail part {i} unique ending tokens {i * 7}")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sh = shingles(df, n=5)
+    sig = minhash_signatures(sh, k=16)
+    pairs = lsh_bucket_pairs(sig, k=16, bands=4)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_on_pairs(pairs, sh).collect()}
+    texts_d = dict(texts)
+    for (a, b), got in j.items():
+        assert got == pytest.approx(_py_jaccard(texts_d[a], texts_d[b]), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# W1: pandas-scan implementation ≡ relational implementation on a battery of
+# adversarial documents covering every quirk of the reference loop.
+# ---------------------------------------------------------------------------
+TRICKY_DOCS = [
+    "",                                        # empty → single flush of ''? (no: desc '' stays empty... covered)
+    "plain text only",
+    "== A ==",                                 # header, nothing else
+    "text == mid == marker",                   # marker mid-line
+    "====== deep first ======\nx",             # h6 before any h2
+    "===== five =====\nbody\n== two ==\ny",    # h5 replace quirk then h2
+    "== References ==\nhidden",                # instant break
+    "a\n=== References are deep ===\nb\n== Notes ==\nc",
+    "== A ==\n=== B ===\n==== C ====\n===== D =====\n====== E ======\nz",
+    "== A ==\n\n\n== B ==\nbody",              # empty lines accumulate
+    "intro\n== A ==\nbody\n=== B ===\n==== C ====\n=== D ===\ntail",
+]
+
+
+def test_w1_udf_equals_relational_on_tricky_docs(spark):
+    rows = [(i, f"T{i}", d) for i, d in enumerate(TRICKY_DOCS)]
+    docs = spark.createDataFrame(rows, ["doc_id", "title", "content"])
+    rel = relational_sections(docs)
+    got_rel = {
+        (r["doc_id"], r["section_no"], r["heading"], r["text"])
+        for r in rel.collect()
+    }
+    got_udf = set()
+    for i, d in enumerate(TRICKY_DOCS):
+        for n, (h, t) in enumerate(scan_sections(f"T{i}", d), start=1):
+            got_udf.add((i, n, h, t))
+    assert got_rel == got_udf
+
+
+def test_w1_python_scan_brute_force_grammar(spark):
+    """Deterministic pseudo-random doc grammar sweep: relational == scan
+    for 40 generated documents mixing all marker levels and edge shapes."""
+    import hashlib
+
+    def gen(seed: int) -> str:
+        h = hashlib.md5(str(seed).encode()).digest()
+        lines = []
+        for i, byte in enumerate(h):
+            kind = byte % 9
+            word = f"w{byte}"
+            if kind == 0:
+                lines.append(f"== {word} ==")
+            elif kind == 1:
+                lines.append(f"=== {word} ===")
+            elif kind == 2:
+                lines.append(f"==== {word} ====")
+            elif kind == 3:
+                lines.append(f"===== {word} =====")
+            elif kind == 4:
+                lines.append(f"====== {word} ======")
+            elif kind == 5:
+                lines.append(f"text with == {word} == inside")
+            elif kind == 6:
+                lines.append("")
+            elif kind == 7 and byte % 2:
+                lines.append("== References ==")
+            else:
+                lines.append(f"plain {word} line {i}")
+        return "\n".join(lines)
+
+    docs = [(i, f"T{i}", gen(i)) for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "title", "content"])
+    got_rel = {
+        (r["doc_id"], r["section_no"], r["heading"], r["text"])
+        for r in relational_sections(df).collect()
+    }
+    got_py = set()
+    for i, _, content in docs:
+        for n, (h, t) in enumerate(scan_sections(f"T{i}", content), start=1):
+            got_py.add((i, n, h, t))
+    assert got_rel == got_py
