@@ -1021,6 +1021,58 @@ def page_metadata_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "p6_nonempty_guard",
+    """
+    SELECT doc_id, trim(text) AS cleaned
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+)
+def p6_nonempty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — the null/empty guard (search_scrape.py:354-358) as a pushed
+    predicate."""
+    d = load(spark, sf_dir, "documents")
+    return d.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", F.trim(F.col("text")).alias("cleaned"))
+
+
+@_q(
+    "having_big_customers",
+    f"""
+    SELECT o_custkey AS custkey,
+           count(*) AS n_orders,
+           {_dsum_sql('o_totalprice', 2)} AS total_spent
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING (post-aggregation predicate) coverage."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("total_spent"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@_q("approx_key_cardinality", None)  # approximate by design → rows-only
+def approx_key_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the cheap key-cardinality metric the
+    ingest loop reports per epoch (exact value engine-dependent → no
+    cross-engine oracle; bounds asserted in pytest)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # ═══════════════════════════════════════════════════════════════════════════
 # registry accessors (driver contract)
 # ═══════════════════════════════════════════════════════════════════════════

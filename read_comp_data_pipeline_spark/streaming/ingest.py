@@ -154,13 +154,31 @@ def run_ingest(
 
     # CPU-heavy per-row extraction wants more, smaller scan splits than the
     # I/O-oriented 128MB default — the scan IS the UDF's parallelism now
-    # (no pre-UDF repartition shuffle).
+    # (no pre-UDF repartition shuffle). Restored on exit.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
 
     hi_epoch = wal_src.max_epoch(spark, wal_path) if max_epoch is None else max_epoch
     stats = IngestStats()
     t0 = time.monotonic()
 
+    try:
+        _run_epochs(
+            spark, table, wal_path, table_path, hi_epoch, stats,
+            extract=extract, mode=mode, compact_every=compact_every,
+            quarantine=quarantine, fail_after_epoch=fail_after_epoch,
+        )
+    finally:
+        if prev_mpb is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        stats.secs = time.monotonic() - t0
+    return stats
+
+
+def _run_epochs(
+    spark, table, wal_path, table_path, hi_epoch, stats,
+    *, extract, mode, compact_every, quarantine, fail_after_epoch,
+) -> None:
     for epoch in range(table.last_epoch + 1, hi_epoch + 1):
         slice_df = wal_src.read_epoch(spark, wal_path, epoch)
 
@@ -213,9 +231,6 @@ def run_ingest(
                 table.compact_table()
         if fail_after_epoch is not None and epoch >= fail_after_epoch:
             raise RuntimeError(f"injected failure after epoch {epoch}")
-
-    stats.secs = time.monotonic() - t0
-    return stats
 
 
 def read_quarantine(spark: SparkSession, table_path: str) -> DataFrame | None:
