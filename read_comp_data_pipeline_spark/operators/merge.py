@@ -542,6 +542,56 @@ class HashMergeTable:
         return {"skipped": False, "epoch": epoch, "rows_applied": 0, "buckets_touched": 0,
                 "secs": time.monotonic() - t0}
 
+    # -- maintenance ------------------------------------------------------------
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        """All retained snapshots, oldest first (time travel: pass one to
+        ``read(at_snapshot=...)``)."""
+        sdir = os.path.join(self.path, "snapshots")
+        out = []
+        for name in sorted(os.listdir(sdir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(sdir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def vacuum(self, keep_snapshots: int = 1) -> dict[str, Any]:
+        """Delete data directories unreferenced by the last ``keep_snapshots``
+        snapshots, and the expired snapshot files. Safe ordering: the
+        CURRENT pointer is never touched; only files no retained snapshot
+        references are removed (Iceberg expire_snapshots analogue)."""
+        import shutil
+
+        snaps = self.snapshots()
+        keep = snaps[-keep_snapshots:] if keep_snapshots > 0 else snaps[-1:]
+        referenced: set[str] = set()
+        for s in keep:
+            for e in s["buckets"].values():
+                # bucket dirs live one level under their data dir
+                referenced.add(e["dir"].split("/_b=")[0])
+            for d in s.get("deltas", []):
+                referenced.add(d["dir"])
+        removed_dirs = 0
+        for root in ("data", "delta"):
+            rdir = os.path.join(self.path, root)
+            if not os.path.isdir(rdir):
+                continue
+            for name in os.listdir(rdir):
+                rel = f"{root}/{name}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(rdir, name), ignore_errors=True)
+                    removed_dirs += 1
+        keep_versions = {s["version"] for s in keep}
+        removed_snaps = 0
+        sdir = os.path.join(self.path, "snapshots")
+        for name in os.listdir(sdir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                v = int(name[5:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(sdir, name))
+                    removed_snaps += 1
+        return {"removed_data_dirs": removed_dirs, "removed_snapshots": removed_snaps}
+
     # -- lineage / metrics ------------------------------------------------------
 
     def manifest(self) -> DataFrame:

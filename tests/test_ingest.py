@@ -168,3 +168,25 @@ def test_mor_resume_with_pending_deltas(spark, wal_path, tmp_path):
     run_ingest(spark, wal_path, mor, n_buckets=8, mode="mor", compact_every=100)
     expected = _final_expected(spark, wal_path)
     assert _state_digest(HashMergeTable(spark, mor).read()) == _state_digest(expected)
+
+
+def test_time_travel_and_vacuum(spark, wal_path, tmp_path):
+    tbl_path = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=4)
+    t = HashMergeTable(spark, tbl_path)
+    snaps = t.snapshots()
+    assert len(snaps) >= 3
+    # time travel: an earlier snapshot reflects fewer applied epochs
+    early = next(s for s in snaps if s["epoch"] == 1)
+    early_keys = t.read(at_snapshot=early).count()
+    final_keys = t.read().count()
+    wal01 = spark.read.parquet(wal_path).where(F.col("epoch") <= 1)
+    exp_early = expected_final_state(wal01).count()
+    assert early_keys == exp_early
+    # vacuum: expired snapshots + unreferenced dirs removed; CURRENT intact
+    before = _state_digest(t.read())
+    res = t.vacuum(keep_snapshots=1)
+    assert res["removed_snapshots"] >= 2
+    assert _state_digest(t.read()) == before
+    with pytest.raises(Exception):
+        t.read(at_snapshot=early).count()  # expired data may be gone
