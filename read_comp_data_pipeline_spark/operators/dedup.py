@@ -107,13 +107,22 @@ def lsh_bucket_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
 def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs.
 
-    intersection via double semi-keyed join of the shingle relation;
-    union = |A| + |B| - |A∩B|. All shuffles keyed on doc id or shingle.
+    The shingle self-join is restricted FIRST to docs that appear in a
+    candidate pair (broadcast semi-join on the small candidate-id set) —
+    without that, intersection counting grows with the whole corpus's
+    shared-shingle volume instead of the candidates'. union =
+    |A| + |B| - |A∩B|; all shuffles keyed on doc id or shingle.
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_ids), on="id", how="left_semi")
+    sizes = sh_c.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), on="shingle")
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), on="shingle")
         .where(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))

@@ -1061,6 +1061,76 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "intersect_keys",
+    """
+    SELECT c_custkey AS key_id FROM customer
+    INTERSECT SELECT user_id AS key_id FROM events
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (SURVEY §2.7 'built-in if needed')."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key_id"))
+    e = load(spark, sf_dir, "events").select(F.col("user_id").alias("key_id"))
+    return c.intersect(e)
+
+
+@_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority AS priority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via DataFrame API (oracle uses the equivalent conditional
+    aggregation — same result, one pass)."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH avg_qty AS (
+      SELECT l_partkey, avg(l_quantity) * 0.8 AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_small,
+           {_dsum_sql('l.l_extendedprice', 2)} AS small_revenue
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join; the per-part aggregate is tiny
+    → broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.8).alias("threshold"))
+    return (
+        li.join(F.broadcast(avg_qty), on="l_partkey")
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.count("*").alias("n_small"),
+            _dsum(F.col("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
+
+
 @_q("approx_key_cardinality", None)  # approximate by design → rows-only
 def approx_key_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — the cheap key-cardinality metric the
