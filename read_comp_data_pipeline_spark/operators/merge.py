@@ -328,8 +328,13 @@ class HashMergeTable:
         # MERGE arms, relationally:
         #   kept    = target(affected buckets) ANTI JOIN source-keys
         #   applied = source WHERE op != 'D'
+        # The source key set (one epoch, keys only) is broadcast → the
+        # target side streams through the anti filter without shuffling or
+        # sorting; without the hint Catalyst has no stats for the
+        # UDF-derived source and falls back to a sort-merge join that
+        # sorts the whole affected-bucket range.
         tgt = self.read(buckets=affected, at_snapshot=snap)
-        kept = tgt.join(src.select(*key_cols), on=key_cols, how="left_anti")
+        kept = tgt.join(F.broadcast(src.select(*key_cols)), on=key_cols, how="left_anti")
         applied = _align(src.where(F.col(op_col) != "D"), cur_schema)
         merged = (
             kept.unionByName(applied)
