@@ -1,0 +1,126 @@
+"""spark-submit entry point (north_rule: `spark-submit --py-files`).
+
+Package the library and submit:
+
+    zip -r engine.zip read_comp_data_pipeline_spark
+    spark-submit --py-files engine.zip -m ... \
+        $(python -c 'import read_comp_data_pipeline_spark as m, os; \
+                     print(os.path.join(os.path.dirname(m.__file__), "__main__.py"))') \
+        ingest --wal /data/change_events --table /lake/source_code \
+        --mode mor --buckets 1024
+
+or locally: ``python -m read_comp_data_pipeline_spark <cmd> ...``.
+
+Commands:
+  generate  — write a deterministic synthetic WAL
+  ingest    — replay the WAL into the MERGE table (resumable)
+  stream    — same via Structured Streaming (AvailableNow)
+  compact   — fold MOR deltas into the base
+  vacuum    — expire old snapshots + unreferenced files
+  show      — table summary (row count, last epoch, manifest tail)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="read_comp_data_pipeline_spark")
+    ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--keys", type=int, default=None)
+    g.add_argument("--epoch-size", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    for name in ("ingest", "stream"):
+        p = sub.add_parser(name)
+        p.add_argument("--wal", required=True)
+        p.add_argument("--table", required=True)
+        p.add_argument("--buckets", type=int, default=16)
+        p.add_argument("--mode", choices=("cow", "mor"), default="mor")
+        p.add_argument("--max-epoch", type=int, default=None)
+        p.add_argument("--compact-every", type=int, default=10)
+        p.add_argument("--quarantine", action="store_true")
+        if name == "stream":
+            p.add_argument("--checkpoint", required=True)
+
+    for name in ("compact", "vacuum", "show"):
+        p = sub.add_parser(name)
+        p.add_argument("--table", required=True)
+        if name == "vacuum":
+            p.add_argument("--keep-snapshots", type=int, default=2)
+
+    args = ap.parse_args(argv)
+
+    from read_comp_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("rcdp-" + args.cmd, master=args.master)
+
+    if args.cmd == "generate":
+        from read_comp_data_pipeline_spark.sources.wal import (
+            generate_change_events,
+            write_wal,
+        )
+
+        write_wal(
+            generate_change_events(
+                spark, args.events, n_keys=args.keys,
+                epoch_size=args.epoch_size, seed=args.seed,
+            ),
+            args.out,
+        )
+        print(json.dumps({"written": args.out, "events": args.events}))
+    elif args.cmd == "ingest":
+        from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
+
+        st = run_ingest(
+            spark, args.wal, args.table, n_buckets=args.buckets,
+            max_epoch=args.max_epoch, mode=args.mode,
+            compact_every=args.compact_every, quarantine=args.quarantine,
+        )
+        print(json.dumps({
+            "epochs_applied": st.epochs_applied,
+            "epochs_skipped": st.epochs_skipped,
+            "events_applied": st.events_applied,
+            "secs": round(st.secs, 2),
+            "events_per_sec": round(st.events_per_sec, 1),
+        }))
+    elif args.cmd == "stream":
+        from read_comp_data_pipeline_spark.streaming.stream import stream_ingest
+
+        stream_ingest(
+            spark, args.wal, args.table, checkpoint_path=args.checkpoint,
+            n_buckets=args.buckets, mode=args.mode,
+        )
+        print(json.dumps({"done": True}))
+    elif args.cmd == "compact":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).compact_table()))
+    elif args.cmd == "vacuum":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).vacuum(args.keep_snapshots)))
+    elif args.cmd == "show":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        print(json.dumps({
+            "rows": t.read().count(),
+            "last_epoch": t.last_epoch,
+            "n_buckets": t.n_buckets,
+            "schema": [f.name for f in t.schema.fields],
+        }))
+        t.manifest().orderBy("epoch", "partition").show(20, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
