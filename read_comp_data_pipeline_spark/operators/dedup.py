@@ -112,7 +112,11 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     without that, intersection counting grows with the whole corpus's
     shared-shingle volume instead of the candidates'. union =
     |A| + |B| - |A∩B|; all shuffles keyed on doc id or shingle.
+
+    ``pairs`` feeds two branches (the id broadcast and the final join), so
+    it is persisted here — otherwise the banding subtree executes twice.
     """
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
