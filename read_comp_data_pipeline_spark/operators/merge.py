@@ -292,6 +292,7 @@ class HashMergeTable:
         op_col: str = "op",
         affected_buckets: list[int] | None = None,
         src_rows: int | None = None,
+        lag_events: int = 0,
     ) -> dict[str, Any]:
         """Apply one compacted epoch slice. Source must have ≤1 row per key
         plus an ``op`` column ('I'/'U'/'D'); all non-op columns must exist in
@@ -311,7 +312,7 @@ class HashMergeTable:
         if epoch <= snap["epoch"]:
             return {"skipped": True, "epoch": epoch, "rows_applied": 0}
         if snap.get("mode", "cow") == "mor":
-            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows)
+            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows, lag_events)
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
@@ -393,7 +394,7 @@ class HashMergeTable:
                     "bytes": 0,
                     "secs": secs,
                     "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
-                    "lag_events": 0,
+                    "lag_events": int(lag_events),
                 }
                 for b in affected
             ]
@@ -410,7 +411,8 @@ class HashMergeTable:
         }
 
     def _merge_mor(
-        self, snap, source: DataFrame, epoch: int, lo, hi, t0, src_rows: int | None = None
+        self, snap, source: DataFrame, epoch: int, lo, hi, t0,
+        src_rows: int | None = None, lag_events: int = 0,
     ) -> dict[str, Any]:
         """Merge-on-read arm: append the compacted slice (op retained) as a
         bucket-partitioned delta — no target read, no join, no rewrite.
@@ -461,7 +463,7 @@ class HashMergeTable:
                 "bytes": 0,
                 "secs": secs,
                 "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
-                "lag_events": 0,
+                "lag_events": int(lag_events),
             }
             for b, rows in sorted(bucket_rows.items())
         )

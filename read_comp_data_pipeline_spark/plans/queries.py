@@ -1131,6 +1131,65 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMPT_ORACLE = f"""
+    WITH w1 AS ({W1_ORACLE_SQL}),
+    hits AS (
+      SELECT doc_id, section_no, heading, text, 'Doc ' || doc_id AS title,
+             string_split(heading, ' - ') AS parts
+      FROM w1
+      WHERE { ' OR '.join(
+          f"instr(lower(heading || ' ' || text), '{t}') > 0" for t in _DOC_TERMS) }
+    )
+    SELECT doc_id, section_no,
+           'Generate law topics under "' || title || '"'
+           || CASE WHEN section_no > 1 THEN
+                coalesce(array_to_string(
+                  list_transform(parts[1:len(parts) - 1],
+                                 p -> ' under "' || p || '"'), ''), '')
+                || ', specifically related to "' || parts[-1] || '"'
+              ELSE '' END
+           || CASE WHEN trim(text) <> ''
+                THEN ' given this short description: "' || trim(text) || '"'
+                ELSE '' END AS prompt
+    FROM hits
+"""
+
+
+@_q("prompt_generation", _PROMPT_ORACLE)
+def prompt_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 — the downstream consumer (query_gpt.py:38-67): keyword-gated
+    sections → prompt strings built from the ' - ' breadcrumb encoding
+    (split → ' under "x"' per ancestor, ', specifically related to' for the
+    leaf, description clause when non-empty). Pure Column expressions —
+    the consumer contract that fixes the heading encoding (SURVEY §3)."""
+    from read_comp_data_pipeline_spark.functions.classify import has_keyword
+
+    w1 = relational_sections(synth_docs(load(spark, sf_dir, "documents")))
+    hits = w1.where(
+        has_keyword(F.concat_ws(" ", F.lower("heading"), F.lower("text")), _DOC_TERMS)
+    )
+    parts = F.split("heading", " - ")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    under = F.array_join(
+        F.transform(
+            F.slice(parts, 1, F.size(parts) - 1),
+            lambda p: F.concat(F.lit(' under "'), p, F.lit('"')),
+        ),
+        "",
+    )
+    leaf = F.concat(F.lit(', specifically related to "'), F.element_at(parts, -1), F.lit('"'))
+    desc = F.when(
+        F.trim("text") != "",
+        F.concat(F.lit(' given this short description: "'), F.trim("text"), F.lit('"')),
+    ).otherwise(F.lit(""))
+    prompt = F.concat(
+        F.lit('Generate law topics under "'), title, F.lit('"'),
+        F.when(F.col("section_no") > 1, F.concat(under, leaf)).otherwise(F.lit("")),
+        desc,
+    )
+    return hits.select("doc_id", "section_no", prompt.alias("prompt"))
+
+
 @_q("approx_key_cardinality", None)  # approximate by design → rows-only
 def approx_key_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — the cheap key-cardinality metric the

@@ -206,6 +206,9 @@ def _run_epochs(
         from read_comp_data_pipeline_spark.operators.merge import bucket_expr
 
         lo, hi, cnt = wal_src.epoch_stats(wal_path, epoch)
+        # lag = events behind the WAL tail at commit time (footer stats only)
+        _, tail_hi, _ = wal_src.epoch_stats(wal_path, hi_epoch)
+        lag = max(0, int(tail_hi) - int(hi)) if (tail_hi is not None and hi is not None) else 0
         affected = None
         if mode == "cow":
             affected = [
@@ -220,6 +223,7 @@ def _run_epochs(
             src_seq_hi=hi,
             affected_buckets=affected,
             src_rows=cnt,
+            lag_events=lag,
         )
         if res.get("skipped"):
             stats.epochs_skipped += 1

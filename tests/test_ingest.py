@@ -190,3 +190,15 @@ def test_time_travel_and_vacuum(spark, wal_path, tmp_path):
     assert _state_digest(t.read()) == before
     with pytest.raises(Exception):
         t.read(at_snapshot=early).count()  # expired data may be gone
+
+
+def test_metrics_record_throughput_and_lag(spark, wal_path, tmp_path):
+    tbl_path = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=4, mode="mor")
+    m = HashMergeTable(spark, tbl_path).metrics().toPandas()
+    assert (m["events_per_sec"] > 0).all()
+    # earlier epochs committed while later WAL epochs were pending → lag > 0;
+    # the final epoch has lag 0
+    by_epoch = m.groupby("epoch")["lag_events"].max()
+    assert by_epoch.iloc[0] > 0
+    assert by_epoch.loc[by_epoch.index.max()] == 0
