@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from read_comp_data_pipeline_spark.functions.hashing import phash
+from read_comp_data_pipeline_spark.functions.hashing import phash, phash_sql
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,14 +62,38 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
-def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
-    """(id, h0..h{k-1}) — k independent minhashes per document.
+# universal-hash family over ONE base hash per shingle: h_i = (A_i*h30 + B_i)
+# mod P. One md5 instead of k — the md5 was 90% of signature cost. Constants
+# are plain arithmetic so DuckDB oracles replicate bit-for-bit.
+_MH_P = 2_147_483_647  # 2^31 - 1
+_MH_H30 = 1 << 30
 
-    One aggregate over the exploded shingle relation: min of a seeded
-    portable hash per seed. Map-side combinable → skew-safe.
+
+def _mh_coeffs(i: int) -> tuple[int, int]:
+    return 1_000_003 + 97 * i, 10_007 + 31 * i
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """(id, h0..h{k-1}) — k minhashes per document from a single portable
+    base hash via a universal-hash family. One aggregate over the exploded
+    shingle relation; map-side combinable → skew-safe.
     """
-    aggs = [F.min(phash(F.col("shingle"), seed=i)).alias(f"h{i}") for i in range(k)]
+    h30 = F.pmod(phash(F.col("shingle")), F.lit(_MH_H30))
+    aggs = []
+    for i in range(k):
+        a, b = _mh_coeffs(i)
+        aggs.append(F.min(F.pmod(h30 * a + b, F.lit(_MH_P))).alias(f"h{i}"))
     return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_sql_aggs(k: int = 16) -> str:
+    """DuckDB rendering of :func:`minhash_signatures`'s aggregate list."""
+    base = f"(({phash_sql('shingle')}) % {_MH_H30})"
+    parts = []
+    for i in range(k):
+        a, b = _mh_coeffs(i)
+        parts.append(f"min(({base} * {a} + {b}) % {_MH_P}) AS h{i}")
+    return ", ".join(parts)
 
 
 def lsh_bucket_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:

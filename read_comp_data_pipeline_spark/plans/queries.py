@@ -833,9 +833,9 @@ def _shingle_cte() -> str:
     )"""
 
 
-_MINHASH_AGGS_SQL = ", ".join(
-    f"min({phash_sql('shingle', seed=i)}) AS h{i}" for i in range(16)
-)
+from read_comp_data_pipeline_spark.operators.dedup import minhash_sql_aggs
+
+_MINHASH_AGGS_SQL = minhash_sql_aggs(16)
 _BAND_COLS_SQL = ", ".join(
     "md5(" + " || ',' || ".join(f"h{b * 4 + i}::varchar" for i in range(4)) + f") AS band{b}"
     for b in range(4)
