@@ -4,7 +4,7 @@ document fingerprinting. All pure Column expressions (oracle-replicable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # tiny per-language marker lists (n-gram/stopword heuristic). Deterministic

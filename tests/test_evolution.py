@@ -115,3 +115,25 @@ def test_incompatible_evolution_rejected():
     new = T.StructType([T.StructField("a", T.LongType())])
     with pytest.raises(ValueError, match="incompatible"):
         evolved_schema(old, new)
+
+
+def test_evolution_under_mor_mode(spark, evolved_wal, tmp_path):
+    """Evolution + merge-on-read: deltas written under different schema
+    generations reconcile correctly at read time."""
+    cow = str(tmp_path / "cow")
+    mor = str(tmp_path / "mor")
+    run_ingest(spark, evolved_wal, cow, n_buckets=4, mode="cow")
+    run_ingest(spark, evolved_wal, mor, n_buckets=4, mode="mor", compact_every=3)
+    a = HashMergeTable(spark, cow).read()
+    b = HashMergeTable(spark, mor).read()
+    cols = ["repo", "path", "content_sha", "stars", "heading_count"]
+
+    def dig(df):
+        return (
+            df.select(F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]).alias("h"))
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("d"), F.count("*").alias("n"))
+            .first()
+        )
+
+    assert a.count() == b.count()
+    assert dig(a) == dig(b)

@@ -3,7 +3,6 @@ force, MinHash-LSH vs exact Jaccard ground truth, W1 UDF ≡ relational."""
 
 from __future__ import annotations
 
-import itertools
 
 import pytest
 from pyspark.sql import functions as F
