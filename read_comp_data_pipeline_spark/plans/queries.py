@@ -977,6 +977,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, q, k=5, n_planes=8, dim=64)
 
 
+@_q("ann_ivf_topk", None)  # approximate by design → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans cells + multi-probe; recall asserted in pytest)."""
+    from read_comp_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    return ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+
+
 # ═══════════════════════════════════════════════════════════════════════════
 # W1 — the header-breadcrumb scanner, both implementations
 # ═══════════════════════════════════════════════════════════════════════════

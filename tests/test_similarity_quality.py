@@ -153,3 +153,18 @@ def test_w1_python_scan_brute_force_grammar(spark):
         for n, (h, t) in enumerate(scan_sections(f"T{i}", content), start=1):
             got_py.add((i, n, h, t))
     assert got_rel == got_py
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    from read_comp_data_pipeline_spark.operators.similarity import ivf_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 of 16 cells probed → 25% of corpus scanned; IVF recall on clustered
+    # data should beat random sampling comfortably
+    assert recall >= 0.4, f"recall@5 {recall}"
