@@ -109,6 +109,46 @@ def decode_and_featurize(df: DataFrame, fake: bool = False, dim: int = 8) -> Dat
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, max_side: int = 64, fake: bool = False) -> DataFrame:
+    """Image resize: payload → payload' with scaled meta.
+
+    Real decode stubbed; the fake preserves aspect ratio arithmetic and
+    re-stamps the payload with a deterministic sha-derived body so
+    downstream plumbing sees realistic (changed) bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("data_sha", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires codec libraries; pass fake=True"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "image" or r["meta"] is None:
+                    continue
+                w, h = r["meta"]["width"], r["meta"]["height"]
+                if not w or not h:
+                    continue
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                sha = hashlib.sha256(
+                    bytes(r["data"] or b"") + f"{nw}x{nh}".encode()
+                ).hexdigest()
+                rows.append((int(r["asset_id"]), nw, nh, sha))
+            yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "data_sha"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp.
 

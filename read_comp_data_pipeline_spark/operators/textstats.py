@@ -93,5 +93,77 @@ def quality_score(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text — the
-    cheap rolling-hash analogue used for shard-level exact dedup."""
+    cheap whole-document form used for shard-level exact dedup."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def winnowing_fingerprints(
+    df, text_col: str = "text", id_col: str = "doc_id", n: int = 5, window: int = 4
+):
+    """Rolling-hash document fingerprints (winnowing, à la MOSS): hash
+    every n-gram word shingle in position order, keep the minimum of each
+    sliding window of ``window`` consecutive shingle hashes, distinct the
+    survivors. Robust to local edits: an edit perturbs only the windows it
+    overlaps, so most fingerprints survive — the containment-detection
+    primitive exact/md5 fingerprints can't provide.
+
+    Relational shape: posexplode → lead-chain shingles → windowed min →
+    distinct. All windows are per-document (keyed shuffle only).
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    from read_comp_data_pipeline_spark.functions.hashing import phash
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    sh = toks.select(
+        "id", "pos",
+        phash(
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                *[F.lead("tok", i).over(w) for i in range(1, n)],
+            )
+        ).alias("h"),
+        F.lead("tok", n - 1).over(w).alias("_tail"),
+    ).where(F.col("_tail").isNotNull())
+    w2 = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    winnowed = sh.select(
+        "id",
+        F.min("h").over(w2).alias("fp"),
+        F.lead("h", window - 1).over(Window.partitionBy("id").orderBy("pos")).alias("_full"),
+    ).where(F.col("_full").isNotNull())
+    return winnowed.select(F.col("id").alias(id_col), "fp").distinct()
+
+
+def winnowing_oracle_sql(n: int = 5, window: int = 4) -> str:
+    """DuckDB mirror of :func:`winnowing_fingerprints` over `documents`."""
+    from read_comp_data_pipeline_spark.functions.hashing import phash_sql
+
+    leads = " || ' ' || ".join(["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)])
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok,
+             unnest(generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')))) AS pos
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, pos, {phash_sql(f"({leads})")} AS h,
+             lead(tok, {n - 1}) OVER w AS _tail
+      FROM toks WHERE tok <> ''
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    kept AS (SELECT * FROM sh WHERE _tail IS NOT NULL),
+    winnowed AS (
+      SELECT id,
+             min(h) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp,
+             lead(h, {window - 1}) OVER (PARTITION BY id ORDER BY pos) AS _full
+      FROM kept
+    )
+    SELECT DISTINCT id AS doc_id, fp FROM winnowed WHERE _full IS NOT NULL
+    """

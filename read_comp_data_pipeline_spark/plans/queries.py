@@ -798,6 +798,13 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication & similarity (training-data pipeline extensions)
 # ═══════════════════════════════════════════════════════════════════════════
 
+@_q("winnowing_fingerprints", textstats.winnowing_oracle_sql(n=5, window=4))
+def winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprints — edit-robust containment
+    detection; see operators/textstats.winnowing_fingerprints."""
+    return textstats.winnowing_fingerprints(load(spark, sf_dir, "documents"))
+
+
 @_q(
     "dedup_exact",
     """

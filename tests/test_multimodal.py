@@ -71,3 +71,26 @@ def test_frame_sample_counts(assets):
     assert sorted(r["frame_sha"] for r in frames.collect()) == sorted(
         r["frame_sha"] for r in f2.collect()
     )
+
+
+def test_resize_preserves_aspect_and_is_deterministic(assets):
+    from read_comp_data_pipeline_spark.operators.multimodal import resize_images
+    from pyspark.sql import functions as F2
+
+    out = resize_images(assets, max_side=64, fake=True)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    meta = {
+        r["asset_id"]: (r["w"], r["h"])
+        for r in assets.where(F2.col("kind") == "image")
+        .select("asset_id", F2.col("meta.width").alias("w"), F2.col("meta.height").alias("h"))
+        .collect()
+    }
+    assert rows.keys() == meta.keys()
+    for aid, r in rows.items():
+        w, h = meta[aid]
+        assert max(r["width"], r["height"]) <= 64
+        # aspect ratio preserved within integer truncation (relative:
+        # flooring a small scaled side can shift the ratio by ~1/side)
+        assert abs((r["width"] / r["height"]) / (w / h) - 1) < 0.2
+    out2 = {r["asset_id"]: r["data_sha"] for r in resize_images(assets, max_side=64, fake=True).collect()}
+    assert out2 == {k: v["data_sha"] for k, v in rows.items()}

@@ -168,3 +168,19 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     # 4 of 16 cells probed → 25% of corpus scanned; IVF recall on clustered
     # data should beat random sampling comfortably
     assert recall >= 0.4, f"recall@5 {recall}"
+
+
+def test_winnowing_robust_to_local_edits(spark):
+    """An edit in the middle of a document perturbs only overlapping
+    windows: most fingerprints survive (the property exact hashing lacks)."""
+    from read_comp_data_pipeline_spark.operators.textstats import winnowing_fingerprints
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    edited = base.replace(" tok60 ", " EDITED ")
+    df = spark.createDataFrame([(0, base), (1, edited)], ["doc_id", "text"])
+    fps = winnowing_fingerprints(df)
+    a = {r["fp"] for r in fps.where("doc_id = 0").collect()}
+    b = {r["fp"] for r in fps.where("doc_id = 1").collect()}
+    overlap = len(a & b) / len(a)
+    assert overlap > 0.8, f"fingerprint survival {overlap}"
+    assert a != b  # the edit is still detectable
