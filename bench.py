@@ -40,6 +40,8 @@ HEADLINE = [
     "simhash_fingerprints",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "winnowing_fingerprints",
     "w1_sections_relational",
     "w1_sections_udf",
     "p5_keyword_classifier",
