@@ -13,32 +13,53 @@ the exact statement the engine issues when one is present):
   n_buckets)``; a MERGE reads *only* the buckets the source touches
   (copy-on-write of affected buckets — same effect as Iceberg file-level
   pruning on ``bucket(repo, path)``).
-* **idempotent commits.** Each snapshot carries the manifest rows
-  ``(partition=bucket, epoch, rows_applied, src_seq_lo/hi)``; replaying an
-  already-committed epoch is a no-op (exactly-once resume — the fix for
-  the reference's duplicate ``_SeenUrls{n}`` output files,
+* **idempotent commits.** The snapshot records the last committed epoch
+  (and highest applied source ``seq``); replaying an already-committed
+  epoch is a no-op (exactly-once resume — the fix for the reference's
+  duplicate ``_SeenUrls{n}`` output files,
   ``/root/reference/search_scrape.py:419-420``).
+* **constant-size snapshot metadata.** Manifest and metrics rows are
+  appended as per-epoch parquet side-tables (``manifest/e*.parquet``,
+  ``metrics/e*.parquet``) written atomically *before* the snapshot
+  commit; the snapshot JSON holds only bucket pointers + schemas +
+  ``epoch``/``seq_hi`` scalars, so commit cost and driver memory are
+  O(n_buckets) per epoch — not O(total epochs) (at the 10^10-event /
+  10^5-epoch target, an embedded manifest would be O(epochs²) write
+  bytes). Side files are anchored by the snapshot: readers filter to
+  ``epoch <= snapshot.epoch``, so an orphan file from a crashed commit
+  is invisible and gets atomically overwritten on the retried epoch.
 * **transactional schema evolution.** Add-column / type-widening is a
   metadata-only snapshot commit; old data files are read with the schema
   they were written with and aligned (cast + null-fill) at scan time.
 * **time travel.** Old snapshots are retained; ``read(at_snapshot=...)``.
 
-MERGE semantics (per epoch, source already compacted to ≤1 row/key):
+MERGE semantics (per epoch, source already compacted to ≤1 row/key,
+per-key seq-aware — replays of any subset in any order are no-ops):
 
     MERGE INTO target t USING source s
       ON t.repo = s.repo AND t.path = s.path
-    WHEN MATCHED AND s.op = 'D' THEN DELETE
-    WHEN MATCHED THEN UPDATE SET *
+    WHEN MATCHED AND s.seq > t.seq AND s.op = 'D' THEN DELETE
+    WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET *
     WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
 
-implemented relationally as (kept = target ⟕anti source-keys) ∪ (source
-minus deletes) over affected buckets only — one shuffle join keyed on
-(repo, path), broadcast when the source slice is small (AQE decides).
+implemented relationally as (kept = target rows the source doesn't beat)
+∪ (source non-deletes the target doesn't beat) over affected buckets
+only — the source (key, seq) set is broadcast, the target side never
+shuffles or sorts.
+
+Delete contract: a committed delete drops the row without a tombstone.
+Replaying a delete is a no-op (the NOT-MATCHED arm is guarded on op),
+and any *prefix* replay of the WAL converges because the delete itself
+is re-delivered after the rows it beat. The one sequence the sink does
+not defend against is a never-before-delivered event OLDER than an
+applied delete arriving later — excluded by the monotone WAL delivery
+contract (an append-only log tailed in order can't produce an unseen
+gap below the watermark). Retained tombstones + retention GC would lift
+that assumption if a non-monotone source were ever attached.
 """
 
 from __future__ import annotations
 
-import datetime as _dt
 import json
 import os
 import time
@@ -129,8 +150,7 @@ class HashMergeTable:
             "current_schema_id": 0,
             "buckets": {},  # bucket -> {dir, schema_id, rows}
             "deltas": [],  # ordered [{dir, schema_id, epoch}] (mor mode)
-            "manifest": [],  # cumulative (partition, epoch) commit rows
-            "metrics": [],
+            "seq_hi": -1,  # highest applied source seq (stream idempotency)
         }
         t = cls(spark, path)
         t._commit_snapshot(snap)
@@ -183,6 +203,14 @@ class HashMergeTable:
     @property
     def n_buckets(self) -> int:
         return int(self._snapshot()["n_buckets"])
+
+    @property
+    def last_seq_hi(self) -> int:
+        """Highest source ``seq`` applied by a committed epoch (-1 if none).
+        The data-keyed idempotency watermark: a streaming replay whose
+        batch ids restarted (checkpoint loss) filters to ``seq > this``
+        instead of trusting the batch id (streaming/stream.py)."""
+        return int(self._snapshot().get("seq_hi", -1) or -1)
 
     # -- read path ------------------------------------------------------------
 
@@ -326,17 +354,38 @@ class HashMergeTable:
         if not affected:
             return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0)
 
-        # MERGE arms, relationally:
-        #   kept    = target(affected buckets) ANTI JOIN source-keys
-        #   applied = source WHERE op != 'D'
-        # The source key set (one epoch, keys only) is broadcast → the
-        # target side streams through the anti filter without shuffling or
-        # sorting; without the hint Catalyst has no stats for the
-        # UDF-derived source and falls back to a sort-merge join that
-        # sorts the whole affected-bucket range.
+        # MERGE arms, relationally and PER-KEY SEQ-AWARE (a source row wins
+        # only if its order_col beats the target's current row — Iceberg's
+        # "WHEN MATCHED AND s.seq > t.seq"):
+        #   kept    = target rows whose key is absent from source OR whose
+        #             seq >= the source row's seq
+        #   applied = source non-deletes minus keys the target won
+        # Seq-awareness makes the MERGE idempotent at the ROW level: any
+        # subset of the WAL replayed in any order converges (equal seq →
+        # target wins → replay is a no-op), which is what lets the
+        # streaming variant survive checkpoint loss (streaming/stream.py).
+        # The source (key, seq) set — one compacted epoch, pruned columns —
+        # is broadcast, so the target side streams through both probes
+        # without shuffling or sorting; tgt_wins is ≤ |source keys| rows.
+        order = snap.get("order_col", "seq")
+        src_keys = src.select(*key_cols, F.col(order).alias("_sseq"))
         tgt = self.read(buckets=affected, at_snapshot=snap)
-        kept = tgt.join(F.broadcast(src.select(*key_cols)), on=key_cols, how="left_anti")
-        applied = _align(src.where(F.col(op_col) != "D"), cur_schema)
+        kept = (
+            tgt.join(F.broadcast(src_keys), on=key_cols, how="left")
+            .where(F.col("_sseq").isNull() | (F.col("_sseq") <= F.col(order)))
+            .drop("_sseq")
+        )
+        tgt_wins = (
+            tgt.join(F.broadcast(src_keys), on=key_cols, how="inner")
+            .where(F.col("_sseq") <= F.col(order))
+            .select(*key_cols)
+        )
+        applied = _align(
+            src.where(F.col(op_col) != "D").join(
+                F.broadcast(tgt_wins), on=key_cols, how="left_anti"
+            ),
+            cur_schema,
+        )
         merged = (
             kept.unionByName(applied)
             .withColumn("_b", bucket_expr(n_buckets, key_cols))
@@ -383,23 +432,27 @@ class HashMergeTable:
                 }
             )
         secs = time.monotonic() - t0
+        metrics_rows = [
+            {
+                "epoch": epoch,
+                "partition": int(b),
+                "events": bucket_rows.get(int(b), 0),
+                "bytes": 0,
+                "secs": secs,
+                "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
+                "lag_events": int(lag_events),
+            }
+            for b in affected
+        ]
+        # side tables first, snapshot commit last: a crash in between leaves
+        # orphan side files with epoch > snapshot.epoch — invisible to
+        # readers and overwritten when the epoch is retried
+        self._append_manifest(epoch, manifest_rows)
+        self._append_metrics(epoch, metrics_rows)
         snap["buckets"] = new_buckets
-        snap["manifest"].extend(manifest_rows)
-        snap["metrics"].extend(
-            [
-                {
-                    "epoch": epoch,
-                    "partition": int(b),
-                    "events": bucket_rows.get(int(b), 0),
-                    "bytes": 0,
-                    "secs": secs,
-                    "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
-                    "lag_events": int(lag_events),
-                }
-                for b in affected
-            ]
-        )
         snap["epoch"] = epoch
+        if src_seq_hi is not None:
+            snap["seq_hi"] = max(int(snap.get("seq_hi", -1) or -1), int(src_seq_hi))
         snap["version"] += 1
         self._commit_snapshot(snap)
         return {
@@ -441,33 +494,41 @@ class HashMergeTable:
 
         committed_ts = time.time()
         secs = time.monotonic() - t0
+        self._append_manifest(
+            epoch,
+            [
+                {
+                    "partition": int(b),
+                    "epoch": epoch,
+                    "committed_ts": committed_ts,
+                    "rows_applied": rows,
+                    "src_seq_lo": lo,
+                    "src_seq_hi": hi,
+                }
+                for b, rows in sorted(bucket_rows.items())
+            ],
+        )
+        self._append_metrics(
+            epoch,
+            [
+                {
+                    "epoch": epoch,
+                    "partition": int(b),
+                    "events": rows,
+                    "bytes": 0,
+                    "secs": secs,
+                    "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
+                    "lag_events": int(lag_events),
+                }
+                for b, rows in sorted(bucket_rows.items())
+            ],
+        )
         snap["deltas"].append(
             {"dir": data_dir, "schema_id": snap["current_schema_id"], "epoch": epoch}
         )
-        snap["manifest"].extend(
-            {
-                "partition": int(b),
-                "epoch": epoch,
-                "committed_ts": committed_ts,
-                "rows_applied": rows,
-                "src_seq_lo": lo,
-                "src_seq_hi": hi,
-            }
-            for b, rows in sorted(bucket_rows.items())
-        )
-        snap["metrics"].extend(
-            {
-                "epoch": epoch,
-                "partition": int(b),
-                "events": rows,
-                "bytes": 0,
-                "secs": secs,
-                "events_per_sec": (applied_rows / secs) if secs > 0 else 0.0,
-                "lag_events": int(lag_events),
-            }
-            for b, rows in sorted(bucket_rows.items())
-        )
         snap["epoch"] = epoch
+        if hi is not None:
+            snap["seq_hi"] = max(int(snap.get("seq_hi", -1) or -1), int(hi))
         snap["version"] += 1
         self._commit_snapshot(snap)
         return {
@@ -533,18 +594,23 @@ class HashMergeTable:
         return {"skipped": False, "secs": time.monotonic() - t0, "rows": sum(bucket_rows.values())}
 
     def _commit_noop(self, snap, epoch, lo, hi, t0) -> dict[str, Any]:
-        snap["epoch"] = epoch
-        snap["version"] += 1
-        snap["manifest"].append(
-            {
-                "partition": -1,
-                "epoch": epoch,
-                "committed_ts": time.time(),
-                "rows_applied": 0,
-                "src_seq_lo": lo,
-                "src_seq_hi": hi,
-            }
+        self._append_manifest(
+            epoch,
+            [
+                {
+                    "partition": -1,
+                    "epoch": epoch,
+                    "committed_ts": time.time(),
+                    "rows_applied": 0,
+                    "src_seq_lo": lo,
+                    "src_seq_hi": hi,
+                }
+            ],
         )
+        snap["epoch"] = epoch
+        if hi is not None:
+            snap["seq_hi"] = max(int(snap.get("seq_hi", -1) or -1), int(hi))
+        snap["version"] += 1
         self._commit_snapshot(snap)
         return {"skipped": False, "epoch": epoch, "rows_applied": 0, "buckets_touched": 0,
                 "secs": time.monotonic() - t0}
@@ -599,30 +665,95 @@ class HashMergeTable:
                     removed_snaps += 1
         return {"removed_data_dirs": removed_dirs, "removed_snapshots": removed_snaps}
 
-    # -- lineage / metrics ------------------------------------------------------
+    # -- lineage / metrics (appendable parquet side-tables) ---------------------
+
+    # On-disk raw schemas: committed_ts is stored as epoch-seconds double
+    # (timezone-free, engine-portable) and surfaced as TimestampType.
+    _MANIFEST_RAW = T.StructType(
+        [
+            T.StructField("partition", T.IntegerType(), True),
+            T.StructField("epoch", T.LongType(), True),
+            T.StructField("committed_ts", T.DoubleType(), True),
+            T.StructField("rows_applied", T.LongType(), True),
+            T.StructField("src_seq_lo", T.LongType(), True),
+            T.StructField("src_seq_hi", T.LongType(), True),
+        ]
+    )
+
+    def _append_side_rows(self, kind: str, epoch: int, rows: list[dict], pa_schema) -> None:
+        """Atomically write one epoch's manifest/metrics rows as a parquet
+        file under ``{table}/{kind}/e{epoch}.parquet`` — pyarrow, driver-side,
+        O(n_buckets) rows, no Spark job on the hot path. Deterministic name
+        + os.replace ⇒ a retried epoch overwrites its own orphan."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, kind)
+        os.makedirs(d, exist_ok=True)
+        cols = {name: [r[name] for r in rows] for name in pa_schema.names}
+        tbl = pa.Table.from_pydict(cols, schema=pa_schema)
+        tmp = os.path.join(d, f".e{epoch:010d}.{uuid.uuid4().hex}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, f"e{epoch:010d}.parquet"))
+
+    def _append_manifest(self, epoch: int, rows: list[dict]) -> None:
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("partition", pa.int32()),
+                ("epoch", pa.int64()),
+                ("committed_ts", pa.float64()),
+                ("rows_applied", pa.int64()),
+                ("src_seq_lo", pa.int64()),
+                ("src_seq_hi", pa.int64()),
+            ]
+        )
+        self._append_side_rows("manifest", epoch, rows, schema)
+
+    def _append_metrics(self, epoch: int, rows: list[dict]) -> None:
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("epoch", pa.int64()),
+                ("partition", pa.int32()),
+                ("events", pa.int64()),
+                ("bytes", pa.int64()),
+                ("secs", pa.float64()),
+                ("events_per_sec", pa.float64()),
+                ("lag_events", pa.int64()),
+            ]
+        )
+        self._append_side_rows("metrics", epoch, rows, schema)
+
+    def _read_side(self, kind: str, raw_schema: T.StructType) -> DataFrame | None:
+        d = os.path.join(self.path, kind)
+        if not os.path.isdir(d) or not any(n.endswith(".parquet") for n in os.listdir(d)):
+            return None
+        df = self.spark.read.schema(raw_schema).parquet(os.path.join(d, "*.parquet"))
+        # anchor to the committed snapshot: orphan files from a crashed
+        # commit carry epoch > snapshot.epoch and are filtered out
+        return df.where(F.col("epoch") <= F.lit(self.last_epoch))
 
     def manifest(self) -> DataFrame:
-        rows = [
-            (
-                int(m["partition"]),
-                int(m["epoch"]),
-                # committed_ts stored as epoch-seconds float
-                _dt.datetime.fromtimestamp(m["committed_ts"], _dt.timezone.utc).replace(tzinfo=None),
-                int(m["rows_applied"]),
-                m["src_seq_lo"],
-                m["src_seq_hi"],
-            )
-            for m in self._snapshot()["manifest"]
-        ]
-        return self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        raw = self._read_side("manifest", self._MANIFEST_RAW)
+        if raw is None:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        return raw.select(
+            "partition",
+            "epoch",
+            F.timestamp_seconds("committed_ts").alias("committed_ts"),
+            "rows_applied",
+            "src_seq_lo",
+            "src_seq_hi",
+        )
 
     def metrics(self) -> DataFrame:
-        rows = [
-            (int(m["epoch"]), int(m["partition"]), int(m["events"]), int(m["bytes"]),
-             float(m["secs"]), float(m["events_per_sec"]), int(m["lag_events"]))
-            for m in self._snapshot()["metrics"]
-        ]
-        return self.spark.createDataFrame(rows, METRICS_SCHEMA)
+        raw = self._read_side("metrics", METRICS_SCHEMA)
+        if raw is None:
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return raw
 
 
 def _check_compatible_evolution(old: T.StructType, new: T.StructType) -> None:
@@ -644,15 +775,19 @@ def _check_compatible_evolution(old: T.StructType, new: T.StructType) -> None:
                 )
 
 
-def merge_sql_for_iceberg(target: str, source_view: str, key_cols: list[str] | None = None) -> str:
+def merge_sql_for_iceberg(
+    target: str, source_view: str, key_cols: list[str] | None = None, order_col: str = "seq"
+) -> str:
     """The statement this sink issues verbatim on a cluster with the
     Iceberg runtime (kept here so the sandbox implementation and the
-    cluster deployment share one definition of the MERGE semantics)."""
+    cluster deployment share one definition of the MERGE semantics).
+    The ``s.seq > t.seq`` guards make the statement row-level idempotent
+    (a replayed epoch matches on equal seq and changes nothing)."""
     key_cols = key_cols or KEY_COLS
     on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
     return (
         f"MERGE INTO {target} t USING {source_view} s ON {on} "
-        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
-        "WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN MATCHED AND s.{order_col} > t.{order_col} AND s.op = 'D' THEN DELETE "
+        f"WHEN MATCHED AND s.{order_col} > t.{order_col} THEN UPDATE SET * "
         "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *"
     )

@@ -90,27 +90,46 @@ def prepare_target_rows(slice_df: DataFrame, enrich: bool = True) -> DataFrame:
     return df
 
 
-def validate_slice(slice_df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a WAL slice into (good, quarantined) rows.
-
-    Replaces the reference's retry-counter failure handling
-    (``search_scrape.py:241-306`` — 3 attempts, 300 s sleeps, then a global
-    int counter) with a dead-letter relation: malformed events are appended
-    to the table's quarantine area with an error tag and never block the
-    epoch (SURVEY §2.1 S4/S5). Transient task failures are Spark's own
-    ``spark.task.maxFailures`` retry; quarantine is for *data* errors.
-    """
+def default_validator(df: DataFrame):
+    """Standard structural checks → error-string Column (null = good)."""
     bad_op = ~F.col("op").isin("I", "U", "D")
     null_key = F.col("repo").isNull() | F.col("path").isNull()
     null_content = (F.col("op") != "D") & F.col("content").isNull()
-    err = (
+    return (
         F.when(bad_op, F.lit("invalid op"))
         .when(null_key, F.lit("null key"))
         .when(null_content, F.lit("null content for upsert"))
     )
+
+
+def validate_slice(slice_df: DataFrame, validator=None) -> tuple[DataFrame, DataFrame]:
+    """Split a WAL slice into (good, quarantined) rows.
+
+    Replaces the reference's retry machine (``search_scrape.py:241-306`` —
+    3 attempts, 300 s sleeps, then give up and count the failure) with a
+    dead-letter relation plus attempt escalation: failed rows carry an
+    ``attempts`` counter, are re-driven on subsequent epochs by the ingest
+    loop, and move to the permanent dead-letter area once ``attempts``
+    reaches the cap (see ``_run_epochs``). Transient *task* failures are
+    Spark's own ``spark.task.maxFailures`` retry; this path is for data
+    errors (and, via a custom ``validator``, transient upstream errors).
+
+    ``validator``: optional ``(DataFrame) -> Column`` producing an error
+    string (null = good); defaults to :func:`default_validator`. The input
+    may carry an ``_attempts`` column (prior attempt count, 0 for fresh
+    rows) which a validator can consult to model transient failures; bad
+    rows come out with ``attempts = _attempts + 1``.
+    """
+    if "_attempts" not in slice_df.columns:
+        slice_df = slice_df.withColumn("_attempts", F.lit(0))
+    err = (validator or default_validator)(slice_df)
     tagged = slice_df.withColumn("error", err)
-    good = tagged.where(F.col("error").isNull()).drop("error")
-    bad = tagged.where(F.col("error").isNotNull()).withColumn("attempts", F.lit(1))
+    good = tagged.where(F.col("error").isNull()).drop("error", "_attempts")
+    bad = (
+        tagged.where(F.col("error").isNotNull())
+        .withColumn("attempts", (F.col("_attempts") + 1).cast("int"))
+        .drop("_attempts")
+    )
     return good, bad
 
 
@@ -138,6 +157,9 @@ def run_ingest(
     mode: str = "cow",
     compact_every: int = 10,
     quarantine: bool = False,
+    validator=None,
+    max_attempts: int = 3,
+    compact_threshold: int = 5_000_000,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
 
@@ -147,6 +169,20 @@ def run_ingest(
 
     ``mode='mor'`` appends per-epoch deltas (write-optimized hot path) and
     folds them into the base every ``compact_every`` epochs.
+
+    ``quarantine=True`` validates each slice (``validator``, default
+    structural checks) and escalates failures the way the reference's
+    retry machine did (3 attempts then give up,
+    ``search_scrape.py:241-306``): bad rows land in
+    ``quarantine/pending`` with an attempts counter, are re-driven on
+    each subsequent epoch, and move permanently to ``quarantine/dead``
+    once ``attempts`` reaches ``max_attempts``.
+
+    ``compact_threshold``: epochs whose event count (free, from parquet
+    footers) exceeds this switch per-key compaction from the
+    broadcast-semi plan to the broadcast-free ``agg`` plan — a mis-sized
+    epoch degrades to a heavier shuffle instead of OOMing the driver
+    (operators/compact.py docstring; the count upper-bounds the key count).
     """
     if not HashMergeTable.exists(table_path):
         HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets, mode=mode)
@@ -167,6 +203,8 @@ def run_ingest(
             spark, table, wal_path, table_path, hi_epoch, stats,
             extract=extract, mode=mode, compact_every=compact_every,
             quarantine=quarantine, fail_after_epoch=fail_after_epoch,
+            validator=validator, max_attempts=max_attempts,
+            compact_threshold=compact_threshold,
         )
     finally:
         if prev_mpb is not None:
@@ -178,14 +216,46 @@ def run_ingest(
 def _run_epochs(
     spark, table, wal_path, table_path, hi_epoch, stats,
     *, extract, mode, compact_every, quarantine, fail_after_epoch,
+    validator=None, max_attempts=3, compact_threshold=5_000_000,
 ) -> None:
+    from read_comp_data_pipeline_spark.operators.merge import bucket_expr
+
     for epoch in range(table.last_epoch + 1, hi_epoch + 1):
         slice_df = wal_src.read_epoch(spark, wal_path, epoch)
 
+        # slice metadata from parquet footers (pyarrow, no Spark job): seq
+        # range + event count → lag metric + compaction-strategy choice.
+        lo, hi, cnt = wal_src.epoch_stats(wal_path, epoch)
+        _, tail_hi, _ = wal_src.epoch_stats(wal_path, hi_epoch)
+        lag = max(0, int(tail_hi) - int(hi)) if (tail_hi is not None and hi is not None) else 0
+        # size-based degradation guard: above the threshold the epoch's key
+        # set can't be assumed broadcastable — fall back to the shuffle agg
+        strategy = "broadcast_semi" if cnt <= compact_threshold else "agg"
+
         if quarantine:
-            slice_df, bad = validate_slice(slice_df)
-            bad.write.mode("overwrite").parquet(
-                f"{table_path}/quarantine/e{epoch:010d}"
+            # re-drive previously quarantined rows (attempt escalation:
+            # the reference's 3-attempts-then-give-up, search_scrape.py:241-306).
+            # A retried row keeps its original seq, so the per-key seq-aware
+            # MERGE rejects it if the key moved on in the meantime — no
+            # extra staleness guard needed here.
+            pending = _read_pending(spark, table_path, before_epoch=epoch)
+            if pending is not None:
+                retry_src = (
+                    pending.where(F.col("attempts") < max_attempts)
+                    .drop("error")
+                    .withColumnRenamed("attempts", "_attempts")
+                )
+                slice_df = slice_df.withColumn("_attempts", F.lit(0)).unionByName(
+                    retry_src, allowMissingColumns=True
+                )
+            slice_df, bad = validate_slice(slice_df, validator)
+            still = bad.where(F.col("attempts") < max_attempts)
+            dead = bad.where(F.col("attempts") >= max_attempts)
+            still.write.mode("overwrite").parquet(
+                f"{table_path}/quarantine/pending/e{epoch:010d}"
+            )
+            dead.write.mode("overwrite").parquet(
+                f"{table_path}/quarantine/dead/e{epoch:010d}"
             )
 
         # transactional schema evolution BEFORE the wave that needs it
@@ -196,19 +266,12 @@ def _run_epochs(
         # bucket write with exactly ONE full-row shuffle (the bucket
         # layout). UDF parallelism comes from the scan splits — sized by
         # maxPartitionBytes above, no repartition needed.
-        compacted = compact_latest(slice_df)
+        compacted = compact_latest(slice_df, strategy=strategy)
         src = prepare_target_rows(compacted) if extract else compacted
 
-        # slice metadata from parquet footers (pyarrow, no Spark job): seq
-        # range + event count; plus the affected-bucket hint for COW (a
-        # pruned key-columns-only scan). The MERGE itself is then a single
-        # Spark action per epoch — the extraction-UDF lineage runs once.
-        from read_comp_data_pipeline_spark.operators.merge import bucket_expr
-
-        lo, hi, cnt = wal_src.epoch_stats(wal_path, epoch)
-        # lag = events behind the WAL tail at commit time (footer stats only)
-        _, tail_hi, _ = wal_src.epoch_stats(wal_path, hi_epoch)
-        lag = max(0, int(tail_hi) - int(hi)) if (tail_hi is not None and hi is not None) else 0
+        # affected-bucket hint for COW (pruned key-columns-only scan): the
+        # MERGE is then a single Spark action per epoch — the
+        # extraction-UDF lineage runs once.
         affected = None
         if mode == "cow":
             affected = [
@@ -222,9 +285,12 @@ def _run_epochs(
             src_seq_lo=lo,
             src_seq_hi=hi,
             affected_buckets=affected,
-            src_rows=cnt,
+            # with quarantine on, applied rows ≠ footer count (bad dropped,
+            # retries added) — let the MERGE count its written files
+            src_rows=None if quarantine else cnt,
             lag_events=lag,
         )
+        res["compact_strategy"] = strategy
         if res.get("skipped"):
             stats.epochs_skipped += 1
         else:
@@ -237,12 +303,45 @@ def _run_epochs(
             raise RuntimeError(f"injected failure after epoch {epoch}")
 
 
+def _read_pending(spark: SparkSession, table_path: str, before_epoch: int) -> DataFrame | None:
+    """Latest pending-quarantine state produced by an epoch < before_epoch.
+    Orphans from a crashed epoch carry an index >= before_epoch (the crash
+    means that epoch never committed, so the loop re-runs and overwrites
+    them) and are ignored here."""
+    import os
+
+    pdir = os.path.join(table_path, "quarantine", "pending")
+    if not os.path.isdir(pdir):
+        return None
+    idxs = [
+        int(n[1:]) for n in os.listdir(pdir)
+        if n.startswith("e") and n[1:].isdigit() and int(n[1:]) < before_epoch
+    ]
+    if not idxs:
+        return None
+    return spark.read.parquet(os.path.join(pdir, f"e{max(idxs):010d}"))
+
+
 def read_quarantine(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """Dead-letter rows collected across epochs (None if no quarantine)."""
+    """All currently-quarantined rows: permanent dead letters plus the
+    latest pending (still-retryable) state. None if quarantine never ran."""
     import os
 
     qdir = os.path.join(table_path, "quarantine")
     if not os.path.isdir(qdir):
         return None
-    dirs = [os.path.join(qdir, d, "*.parquet") for d in sorted(os.listdir(qdir))]
-    return spark.read.parquet(*dirs) if dirs else None
+    parts = []
+    ddir = os.path.join(qdir, "dead")
+    if os.path.isdir(ddir):
+        dirs = [os.path.join(ddir, d, "*.parquet") for d in sorted(os.listdir(ddir))]
+        if dirs:
+            parts.append(spark.read.parquet(*dirs))
+    pending = _read_pending(spark, table_path, before_epoch=1 << 62)
+    if pending is not None:
+        parts.append(pending)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -4,11 +4,21 @@ The batch epoch loop (``ingest.py``) is the deterministic, replayable
 form; this module runs the same transform through Spark Structured
 Streaming — ``readStream`` over the WAL directory → ``foreachBatch`` →
 the same compaction/extraction/MERGE — with ``Trigger.AvailableNow`` for
-bounded runs. Exactly-once is double-layered: the streaming checkpoint
-prevents re-reading files, and the table's idempotent (partition, epoch)
-manifest makes a replayed batch a no-op anyway (so losing the checkpoint
-directory is harmless — the reference's crash-loses-an-hour failure mode,
-``search_scrape.py:316-321``, cannot recur).
+bounded runs.
+
+Exactly-once is keyed on SOURCE data, not on the streaming batch id.
+Batch ids are not a safe idempotency key — after a checkpoint-directory
+loss they restart at 0, and a replayed batch 0 can contain BOTH
+already-applied files and genuinely new ones; an epoch<=committed skip
+would silently drop the new rows. Two layers replace it: (a) the MERGE
+itself is per-key seq-aware (``operators/merge.py`` — equal-or-older seq
+loses to the target, so replayed rows are row-level no-ops while new
+rows apply), and (b) the snapshot's ``seq_hi`` watermark lets a batch
+whose entire seq range is already committed skip the merge cost
+outright (sound because a monotone WAL tail never delivers an unseen
+gap below the watermark). Tested:
+test_stream_checkpoint_loss_is_lossless. The streaming checkpoint
+remains a read-efficiency layer, not the correctness layer.
 """
 
 from __future__ import annotations
@@ -16,6 +26,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from read_comp_data_pipeline_spark.operators.compact import compact_latest
 from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
@@ -32,6 +43,7 @@ def stream_ingest(
     n_buckets: int = 16,
     mode: str = "mor",
     max_files_per_trigger: int | None = None,
+    compact_threshold: int = 5_000_000,
 ) -> None:
     """Run the WAL through Structured Streaming until no data remains
     (AvailableNow), applying each micro-batch as one MERGE epoch."""
@@ -45,12 +57,39 @@ def stream_ingest(
     stream = reader.parquet(wal_path)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # batch_id is the streaming epoch: monotonically increasing and
-        # replayed with identical contents after a crash → maps directly
-        # onto the manifest's idempotency key.
-        ensure_evolved(table, batch_df.schema)
-        src = prepare_target_rows(compact_latest(batch_df))
-        table.merge(src, int(batch_id))
+        # the batch feeds three consumers (seq stats, compaction, MERGE) —
+        # persist so the file scan runs once
+        batch_df = batch_df.persist()
+        try:
+            lo, hi, n = batch_df.agg(
+                F.min("seq"), F.max("seq"), F.count("*")
+            ).first()
+            if not n:
+                return
+            committed = table.last_seq_hi
+            if hi <= committed:
+                # pure replay of already-committed data (a monotone WAL tail
+                # never delivers an unseen gap below the watermark) — skip
+                # the merge cost entirely
+                return
+            ensure_evolved(table, batch_df.schema)
+            # same size-based degradation guard as the batch loop: a batch
+            # whose key set can't be assumed broadcastable takes the
+            # shuffle-agg compaction instead of the broadcast-semi plan
+            strategy = "broadcast_semi" if n <= compact_threshold else "agg"
+            # no row-level filtering against the watermark: the MERGE is
+            # per-key seq-aware (operators/merge.py), so a mixed batch
+            # (replayed prefix + new suffix after checkpoint loss) applies
+            # the new rows and no-ops the replayed ones
+            src = prepare_target_rows(compact_latest(batch_df, strategy=strategy))
+            table.merge(
+                src,
+                table.last_epoch + 1,
+                src_seq_lo=int(lo),
+                src_seq_hi=int(hi),
+            )
+        finally:
+            batch_df.unpersist()
 
     (
         stream.writeStream.foreachBatch(apply_batch)

@@ -246,3 +246,104 @@ def test_extreme_hot_key_skew(spark, tmp_path):
     # every cold key holds its own latest
     expected = expected_final_state(wal)
     assert len(rows) == expected.count()
+
+
+def test_snapshot_size_constant_wrt_epochs(spark, tmp_path):
+    """The scale contract for commit metadata: manifest/metrics live in
+    appendable parquet side-tables, so the snapshot JSON must NOT grow with
+    epoch count (an embedded manifest would be O(epochs²) cumulative write
+    bytes at the 10^5-epoch target)."""
+    import json
+    import os
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 3000, n_keys=300, epoch_size=60), wal)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal, tbl, n_buckets=4)  # 50 epochs
+    t = HashMergeTable(spark, tbl)
+    sdir = os.path.join(tbl, "snapshots")
+    sizes = {
+        int(n[5:-5]): os.path.getsize(os.path.join(sdir, n))
+        for n in os.listdir(sdir)
+        if n.startswith("snap-") and n.endswith(".json")
+    }
+    assert len(sizes) >= 50
+    early = sizes[10]
+    late = sizes[max(sizes)]
+    assert late <= early * 1.2, f"snapshot grew with epochs: {early} -> {late}"
+    # the manifest side-table holds the full history anyway
+    m = t.manifest()
+    assert m.select("epoch").distinct().count() == 50
+    assert t.metrics().count() > 0
+    # and snapshot JSON carries no embedded history keys at all
+    snap = t._snapshot()
+    assert "manifest" not in snap and "metrics" not in snap
+
+
+def test_compaction_strategy_auto_switches_by_epoch_size(spark, tmp_path):
+    """Epochs above compact_threshold must degrade to the broadcast-free
+    'agg' compaction instead of broadcasting an unbounded key set."""
+    wal = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 1200, n_keys=200, epoch_size=400), wal)
+
+    small = str(tmp_path / "small_thresh")
+    stats = run_ingest(spark, wal, small, n_buckets=4, compact_threshold=100)
+    assert stats.per_epoch and all(
+        e["compact_strategy"] == "agg" for e in stats.per_epoch
+    )
+    assert _state_digest(HashMergeTable(spark, small).read()) == _state_digest(
+        _final_expected(spark, wal)
+    )
+
+    big = str(tmp_path / "default_thresh")
+    stats2 = run_ingest(spark, wal, big, n_buckets=4)
+    assert all(e["compact_strategy"] == "broadcast_semi" for e in stats2.per_epoch)
+    assert _state_digest(HashMergeTable(spark, big).read()) == _state_digest(
+        _final_expected(spark, wal)
+    )
+
+
+def test_merge_is_seq_aware_under_out_of_order_replay(spark, tmp_path):
+    """Row-level idempotency: slices merged out of order (and replayed)
+    still converge to per-key max-seq state — the COW MERGE arm applies a
+    source row only when its seq beats the target's."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("seq", T.LongType(), False),
+        ]
+    )
+    tbl_path = str(tmp_path / "t")
+    table = HashMergeTable.create(spark, tbl_path, schema, n_buckets=4)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+            T.StructType(list(schema.fields) + [T.StructField("op", T.StringType(), False)]),
+        )
+
+    new = mk([("r", f"k{i}", f"new{i}", 100 + i, "U") for i in range(9)]
+             + [("r", "k9", None, 119, "D")])
+    old = mk([("r", f"k{i}", f"old{i}", i, "I") for i in range(9)]
+             + [("r", "k_only_old", "keepme", 50, "I")])
+
+    from read_comp_data_pipeline_spark.operators.compact import compact_latest
+
+    # newer slice applied first, older upserts arrive late
+    table.merge(compact_latest(new, key_cols=["repo", "path"]), epoch=0)
+    table.merge(compact_latest(old, key_cols=["repo", "path"]), epoch=1)
+    got = {r["path"]: (r["content"], r["seq"]) for r in table.read().collect()}
+    # late old rows never clobber newer state; unseen keys still insert
+    assert got["k0"] == ("new0", 100)
+    assert "k9" not in got
+    assert got["k_only_old"] == ("keepme", 50)
+    # replaying the newer slice again is a row-level no-op — including the
+    # delete: op='D' is guarded out of the NOT-MATCHED insert arm, so a
+    # replayed delete of an absent key stays absent
+    table.merge(compact_latest(new, key_cols=["repo", "path"]), epoch=2)
+    got2 = {r["path"]: (r["content"], r["seq"]) for r in table.read().collect()}
+    assert got2 == got

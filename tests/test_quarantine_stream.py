@@ -97,3 +97,91 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
         n_buckets=4, mode="mor",
     )
     assert HashMergeTable(spark, stream_tbl)._snapshot()["version"] == v_before
+
+
+def test_quarantine_retry_escalation(spark, tmp_path):
+    """The reference retries a failed page 3 times before giving up
+    (search_scrape.py:241-306). Engine form: a transiently-failing row is
+    re-driven on the next epoch and lands in the table; a permanently
+    failing row escalates to attempts=3 and moves to the dead-letter area."""
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.streaming.ingest import default_validator
+
+    rows = [
+        (0, 0, _ts(0), "I", "r1", "ok.py", "c0", "py", "fine v0"),
+        (1, 0, _ts(1), "I", "r1", "flaky.py", "c1", "py", "flaky content"),
+        (2, 0, _ts(2), "I", "r1", "dead.py", "c2", "py", "never loads"),
+        (3, 1, _ts(3), "U", "r1", "ok.py", "c3", "py", "fine v1"),
+        (4, 2, _ts(4), "U", "r1", "ok.py", "c4", "py", "fine v2"),
+    ]
+    nullable = T.StructType([T.StructField(f.name, f.dataType, True) for f in WAL_SCHEMA.fields])
+    wal_path = str(tmp_path / "wal")
+    spark.createDataFrame(rows, nullable).write.partitionBy("epoch").parquet(wal_path)
+
+    def validator(df):
+        # transient: fails only on the first attempt (the reference's
+        # timeout-then-retry); permanent: fails every attempt
+        return (
+            F.when(F.col("path") == "dead.py", F.lit("permanent upstream failure"))
+            .when(
+                (F.col("path") == "flaky.py") & (F.col("_attempts") < 1),
+                F.lit("transient fetch timeout"),
+            )
+            .otherwise(default_validator(df))
+        )
+
+    tbl_path = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=2, quarantine=True,
+               validator=validator, max_attempts=3)
+
+    got = {r["path"]: r["content"] for r in HashMergeTable(spark, tbl_path).read().collect()}
+    # transiently-bad row landed after its retry; permanently-bad never did
+    assert got["flaky.py"] == "flaky content"
+    assert got["ok.py"] == "fine v2"
+    assert "dead.py" not in got
+
+    q = read_quarantine(spark, tbl_path).collect()
+    by_path = {r["path"]: r for r in q}
+    assert set(by_path) == {"dead.py"}
+    assert by_path["dead.py"]["attempts"] == 3
+    assert by_path["dead.py"]["error"] == "permanent upstream failure"
+
+
+def test_stream_checkpoint_loss_is_lossless(spark, tmp_path):
+    """Losing the streaming checkpoint restarts batch ids at 0; a replayed
+    batch that ALSO contains new WAL files must apply the new rows (the
+    seq-aware MERGE no-ops the replayed prefix instead of an epoch-id skip
+    dropping the whole batch)."""
+    import shutil
+
+    df = generate_change_events(spark, 900, n_keys=90, epoch_size=300)
+    wal_path = str(tmp_path / "wal")
+    df.where(F.col("epoch") <= 1).write.partitionBy("epoch").parquet(wal_path)
+
+    tbl = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    stream_ingest(spark, wal_path, tbl, checkpoint_path=ckpt, n_buckets=4, mode="mor")
+    n_after_2 = HashMergeTable(spark, tbl).read().count()
+    assert n_after_2 > 0
+
+    # checkpoint lost; new WAL files arrive afterwards
+    shutil.rmtree(ckpt)
+    df.where(F.col("epoch") == 2).write.mode("append").partitionBy("epoch").parquet(wal_path)
+    stream_ingest(spark, wal_path, tbl, checkpoint_path=ckpt, n_buckets=4, mode="mor")
+
+    final = HashMergeTable(spark, tbl).read()
+    expected = expected_final_state(spark.read.parquet(wal_path))
+    assert final.count() == expected.count()
+    j = final.select("repo", "path", "content_sha").join(
+        expected.select(
+            "repo", "path", F.sha2(F.encode("content", "utf-8"), 256).alias("exp_sha")
+        ),
+        on=["repo", "path"],
+        how="full_outer",
+    )
+    assert j.where(
+        F.col("content_sha").isNull()
+        | F.col("exp_sha").isNull()
+        | (F.col("content_sha") != F.col("exp_sha"))
+    ).count() == 0
