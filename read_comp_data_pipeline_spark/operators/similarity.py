@@ -154,6 +154,68 @@ def lsh_ann_topk(
     )
 
 
+def lsh_oracle_sql(
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_queries: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB rendering of :func:`lsh_ann_topk`.
+
+    Possible because the hyperplanes are deterministic literals
+    (:func:`_plane_component`): the same constant arrays are embedded in
+    the SQL, so signature bits, multi-probe buckets, candidate sets, and
+    rounded cosines replicate the Spark plan bit-for-bit — a full value
+    oracle for an ANN operator, not just a recall verdict."""
+
+    def arr(p: int) -> str:
+        return "[" + ", ".join(repr(_plane_component(p, d)) for d in range(dim)) + "]::DOUBLE[]"
+
+    def dot_lit(vexpr: str, p: int) -> str:
+        return (
+            f"list_aggregate(list_transform(list_zip({vexpr}, {arr(p)}),"
+            " x -> x[1] * x[2]), 'sum')"
+        )
+
+    def sig(vexpr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({dot_lit(vexpr, p)}) >= 0 THEN {2 ** p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    dot = "list_aggregate(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
+    nrm = "sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+    cos = (
+        f"({dot.format(a='qv', b='cv')}) / "
+        f"(({nrm.format(a='qv')}) * ({nrm.format(a='cv')}))"
+    )
+    probes = "[sig, " + ", ".join(f"xor(sig, {2 ** p})" for p in range(n_planes)) + "]"
+    v = f"CAST({vec_col} AS DOUBLE[])"
+    return f"""
+    WITH c AS (
+      SELECT {id_col} AS cand_id, {v} AS cv, ({sig(v)}) AS bucket FROM {table}
+    ),
+    q AS (
+      SELECT {id_col} AS query_id, {v} AS qv, ({sig(v)}) AS sig
+      FROM {table} WHERE {id_col} < {n_queries}
+    ),
+    probes AS (SELECT query_id, qv, unnest({probes}) AS bucket FROM q),
+    scored AS (
+      SELECT DISTINCT p.query_id, c.cand_id, round({cos}, 6) AS cosine
+      FROM c JOIN probes p ON c.bucket = p.bucket
+      WHERE c.cand_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,

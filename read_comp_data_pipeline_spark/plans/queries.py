@@ -288,13 +288,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → deterministic
-    top-k (ties broken by key). Customer side is broadcast (small after
-    the segment filter)."""
+    top-k (ties broken by key). ONLY the segment-filtered customer is
+    hint-broadcast: orders filtered by a date predicate is fact-sized
+    (~half the table), so lineitem⋈orders stays a shuffle join and AQE
+    upgrades it to broadcast only when the runtime size actually fits —
+    a forced hint there OOMs at 100× scale."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
     l = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                l.l_orderkey == o.o_orderkey)
         .groupBy(F.col("l_orderkey").alias("orderkey"))
         .agg(
@@ -976,22 +979,53 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.30)
 
 
-@_q("ann_lsh_topk", None)  # approximate by design → rows-only check;
+from read_comp_data_pipeline_spark.operators.similarity import lsh_oracle_sql
+
+
+@_q("ann_lsh_topk", lsh_oracle_sql(k=5, n_planes=8, dim=64, n_queries=8))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (recall vs brute force asserted in pytest)."""
+    """LSH-bucketed ANN with a FULL value oracle: the hyperplanes are
+    deterministic literals, so DuckDB replicates signatures, multi-probe
+    buckets and rounded cosines bit-for-bit (similarity.lsh_oracle_sql).
+    Recall floor vs brute force additionally asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
     return lsh_ann_topk(emb, q, k=5, n_planes=8, dim=64)
 
 
-@_q("ann_ivf_topk", None)  # approximate by design → rows-only check
+@_q(
+    "ann_ivf_topk",
+    """
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) * 5 AS BIGINT)
+             AS n_exact,
+           CAST(0.4 AS DOUBLE) AS recall_floor,
+           true AS floor_met
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans cells + multi-probe; recall asserted in pytest)."""
+    """IVF ANN (KMeans cells + multi-probe), gated by a derived verdict:
+    the KMeans centroids are training outputs DuckDB cannot replay, so the
+    oracle checks the deterministic claim instead — overall recall@5 of
+    the IVF result vs the in-Spark exact brute force meets the documented
+    floor (both sides deterministic: seeded KMeans, tie-broken ranks)."""
     from read_comp_data_pipeline_spark.operators.similarity import ivf_ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
-    return ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "cand_id")
+    approx = ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=6).select(
+        "query_id", "cand_id"
+    )
+    hits = approx.join(exact, on=["query_id", "cand_id"], how="inner")
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .select(
+            F.col("n_exact"),
+            F.lit(0.4).alias("recall_floor"),
+            ((F.col("n_hits") / F.col("n_exact")) >= 0.4).alias("floor_met"),
+        )
+    )
 
 
 # ═══════════════════════════════════════════════════════════════════════════
@@ -1134,12 +1168,13 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape — the correlated scalar subquery (per-part average)
-    decorrelated into an aggregate + join; the per-part aggregate is tiny
-    → broadcast."""
+    decorrelated into an aggregate + join. No broadcast hint: the per-part
+    aggregate has |part| rows (~1/30 of lineitem keys) — broadcastable at
+    sf0.1, not at 100 TB. AQE broadcasts it when it actually fits."""
     li = load(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.8).alias("threshold"))
     return (
-        li.join(F.broadcast(avg_qty), on="l_partkey")
+        li.join(avg_qty, on="l_partkey")
         .where(F.col("l_quantity") < F.col("threshold"))
         .agg(
             F.count("*").alias("n_small"),
@@ -1207,15 +1242,25 @@ def prompt_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", "section_no", prompt.alias("prompt"))
 
 
-@_q("approx_key_cardinality", None)  # approximate by design → rows-only
+@_q(
+    "approx_key_cardinality",
+    """
+    SELECT count(DISTINCT user_id) AS exact_users, true AS within_bound
+    FROM events
+    """,
+)
 def approx_key_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) — the cheap key-cardinality metric the
-    ingest loop reports per epoch (exact value engine-dependent → no
-    cross-engine oracle; bounds asserted in pytest)."""
+    ingest loop reports per epoch. The HLL estimate itself is
+    engine-specific, so the oracle gates the deterministic claim: the
+    estimate sits within 3× the configured rsd (0.05) of the exact count
+    (measured error at sf0.01 is ~0.7%)."""
     ev = load(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id")
     return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        ((F.abs(approx - exact) / exact) <= 0.15).alias("within_bound"),
     )
 
 

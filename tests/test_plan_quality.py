@@ -25,6 +25,19 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _plan_simple(df) -> str:
+    """Tree-only physical plan (each node printed once, subtrees printed
+    depth-first under their parent) — for structural assertions where the
+    formatted mode's tree+details double-printing would double counts."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
     df = q1_pricing_summary(spark, sf_dir)
     plan = _plan(df)
@@ -112,3 +125,40 @@ def test_merge_reads_only_affected_buckets(spark, tmp_path):
     assert all("_b=0" in f or "_b=1" in f for f in files)
     all_files = t.read().inputFiles()
     assert any("_b=2" in f for f in all_files)  # other buckets exist
+
+
+def test_q3_broadcasts_only_the_filtered_customer(spark, sf_dir):
+    """Scale guard: with auto-broadcast disabled, the only BroadcastExchange
+    left must be the hinted (segment-filtered) customer — orders is
+    fact-sized and must reach lineitem via a shuffle join that AQE may
+    upgrade, never via a hard hint."""
+    from read_comp_data_pipeline_spark.plans.queries import q3_top_unshipped
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan_simple(q3_top_unshipped(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastExchange") == 1
+    # the broadcast subtree (printed depth-first right after the exchange)
+    # reads customer, not orders
+    bcast = plan.split("BroadcastExchange")[1]
+    cust, orders = bcast.find("customer.parquet"), bcast.find("orders.parquet")
+    assert cust != -1
+    assert orders == -1 or cust < orders
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q17_has_no_forced_broadcast(spark, sf_dir):
+    """The per-partkey aggregate is not broadcastable at 100 TB: no hint;
+    AQE decides at runtime."""
+    from read_comp_data_pipeline_spark.plans.queries import q17_small_quantity_revenue
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan_simple(q17_small_quantity_revenue(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan
