@@ -138,9 +138,14 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     |A| + |B| - |A∩B|; all shuffles keyed on doc id or shingle.
 
     ``pairs`` feeds two branches (the id broadcast and the final join), so
-    it is persisted here — otherwise the banding subtree executes twice.
+    it is materialized here via an eager localCheckpoint — otherwise the
+    banding subtree executes twice. localCheckpoint (not persist): its
+    storage is released by the ContextCleaner when the DataFrame is
+    garbage-collected, so repeated invocations (bench loops, catalog
+    re-runs, long sessions) don't accumulate cached partitions the way an
+    unpaired persist() would.
     """
-    pairs = pairs.persist()
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -208,10 +213,100 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Documents sharing a simhash bucket → near-dup groups (hamming-0)."""
+    """Documents sharing a simhash bucket → near-dup groups (hamming-0).
+    For hamming ≤ k neighbor search use :func:`simhash_hamming_pairs`."""
     s = simhash(df, text_col, id_col)
     return (
         s.groupBy("simhash")
         .agg(F.min("id").alias("keeper_id"), F.count("*").alias("group_size"))
         .where(F.col("group_size") > 1)
     )
+
+
+def _hamming_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per block, splitting ``bits`` into max_hamming+1
+    near-equal blocks. Pigeonhole: two fingerprints within hamming k agree
+    exactly on at least one of k+1 disjoint blocks."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ k via bit-block banding —
+    the same banding trick as MinHash-LSH, applied to fingerprint bits:
+    candidate pairs come only from block-bucket agreement (each self-join
+    shuffles on (block_no, block_val), bounded per bucket — no all-pairs
+    cross product), then exact popcount verifies. Scales like LSH."""
+    s = simhash(df, text_col, id_col, bits)
+    blocks = _hamming_blocks(bits, max_hamming)
+    stacked = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_no"),
+                    F.shiftright(F.col("simhash"), shift)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("block_val"),
+                )
+                for i, (shift, width) in enumerate(blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", "b.block_no", "b.block_val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, on=["block_no", "block_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_hamming_sql(
+    simhash_cte: str, bits: int = 16, max_hamming: int = 2
+) -> str:
+    """DuckDB rendering of :func:`simhash_hamming_pairs` given a CTE body
+    ``simhash_cte`` that yields (id, simhash)."""
+    blocks = _hamming_blocks(bits, max_hamming)
+    stacked = " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS block_no,"
+        f" (simhash >> {shift}) & {(1 << width) - 1} AS block_val FROM s"
+        for i, (shift, width) in enumerate(blocks)
+    )
+    return f"""
+    WITH s AS ({simhash_cte}),
+    stacked AS ({stacked}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM stacked a JOIN stacked b
+        ON a.block_no = b.block_no AND a.block_val = b.block_val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {max_hamming}
+    """

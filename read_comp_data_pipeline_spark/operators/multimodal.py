@@ -126,25 +126,51 @@ def resize_images(df: DataFrame, max_side: int = 64, fake: bool = False) -> Data
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "image decode requires codec libraries; pass fake=True"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image" or r["meta"] is None:
-                    continue
-                w, h = r["meta"]["width"], r["meta"]["height"]
-                if not w or not h:
-                    continue
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                sha = hashlib.sha256(
-                    bytes(r["data"] or b"") + f"{nw}x{nh}".encode()
-                ).hexdigest()
-                rows.append((int(r["asset_id"]), nw, nh, sha))
-            yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "data_sha"])
+            # vectorized batch path: struct column → frame, numpy arithmetic
+            # on whole columns; Python touches rows only for the sha digest
+            # (inherently per-row), via a single column-wise map
+            meta = pd.DataFrame(
+                [m if m is not None else {} for m in pdf["meta"]],
+                index=pdf.index,
+            )
+            sel = (
+                (pdf["kind"] == "image")
+                & meta.get("width", pd.Series(index=pdf.index, dtype="float")).notna()
+                & meta.get("height", pd.Series(index=pdf.index, dtype="float")).notna()
+            )
+            if not sel.any():
+                yield pd.DataFrame(
+                    {"asset_id": pd.Series(dtype="int64"),
+                     "width": pd.Series(dtype="int32"),
+                     "height": pd.Series(dtype="int32"),
+                     "data_sha": pd.Series(dtype="object")}
+                )
+                continue
+            w = meta.loc[sel, "width"].to_numpy(dtype="float64")
+            h = meta.loc[sel, "height"].to_numpy(dtype="float64")
+            scale = np.minimum(1.0, max_side / np.maximum(w, h))
+            nw = np.maximum(1, (w * scale).astype("int64"))
+            nh = np.maximum(1, (h * scale).astype("int64"))
+            data = pdf.loc[sel, "data"]
+            shas = [
+                hashlib.sha256(bytes(d or b"") + f"{a}x{b}".encode()).hexdigest()
+                for d, a, b in zip(data, nw, nh)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf.loc[sel, "asset_id"].astype("int64"),
+                    "width": nw.astype("int32"),
+                    "height": nh.astype("int32"),
+                    "data_sha": shas,
+                }
+            )
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -166,21 +192,52 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Dat
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "video decode requires codec libraries; pass fake=True"
                 )
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or r["meta"] is None:
-                    continue
-                dur = r["meta"]["duration_ms"] or 0
-                for i in range(int(dur) // every_ms):
-                    sha = hashlib.sha256(
-                        bytes(r["data"] or b"") + i.to_bytes(4, "big")
-                    ).hexdigest()
-                    rows.append((int(r["asset_id"]), i, i * every_ms, sha))
-            yield pd.DataFrame(rows, columns=["asset_id", "frame_no", "ts_ms", "frame_sha"])
+            # vectorized 1→N expansion: per-row frame counts → index.repeat
+            # + groupwise cumcount, no iterrows
+            meta = pd.DataFrame(
+                [m if m is not None else {} for m in pdf["meta"]],
+                index=pdf.index,
+            )
+            dur = (
+                meta.get("duration_ms", pd.Series(index=pdf.index, dtype="float"))
+                .fillna(0)
+                .to_numpy(dtype="int64")
+            )
+            n_frames = np.where(pdf["kind"].to_numpy() == "video", dur // every_ms, 0)
+            rep_idx = np.repeat(np.arange(len(pdf)), n_frames)
+            if len(rep_idx) == 0:
+                yield pd.DataFrame(
+                    {"asset_id": pd.Series(dtype="int64"),
+                     "frame_no": pd.Series(dtype="int32"),
+                     "ts_ms": pd.Series(dtype="int64"),
+                     "frame_sha": pd.Series(dtype="object")}
+                )
+                continue
+            # frame_no = position within each repeated group (exclusive
+            # prefix sums of the group sizes, repeated, subtracted)
+            frame_no = np.arange(len(rep_idx)) - np.repeat(
+                np.cumsum(np.concatenate([[0], n_frames[n_frames > 0][:-1]])),
+                n_frames[n_frames > 0],
+            )
+            data = pdf["data"].to_numpy(dtype="object")[rep_idx]
+            shas = [
+                hashlib.sha256(bytes(d or b"") + int(i).to_bytes(4, "big")).hexdigest()
+                for d, i in zip(data, frame_no)
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(dtype="int64")[rep_idx],
+                    "frame_no": frame_no.astype("int32"),
+                    "ts_ms": (frame_no * every_ms).astype("int64"),
+                    "frame_sha": shas,
+                }
+            )
 
     return df.mapInPandas(run, schema=out_schema)

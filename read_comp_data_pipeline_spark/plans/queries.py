@@ -162,8 +162,11 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     wal = wal.withColumn(
         "content", F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col("content"))
     )
-    epoch_size = 2500
+    # epoch size scales with the data so the flagship stays a bounded
+    # number of commits (≤ ~16 epochs) at any sf instead of a driver-bound
+    # loop of thousands of tiny epochs at 100×
     n = wal.agg(F.max("seq")).first()[0] or 0
+    epoch_size = max(2500, (int(n) + 1) // 16 + 1)
     tbl_path = tempfile.mkdtemp(prefix="cdc_replay_")
     table = HashMergeTable.create(spark, tbl_path, TARGET_SCHEMA, n_buckets=8)
     for epoch in range(int(n) // epoch_size + 1):
@@ -904,9 +907,7 @@ _SIMHASH_BITSUM_SQL = ", ".join(
 _SIMHASH_VAL_SQL = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
 
 
-@_q(
-    "simhash_fingerprints",
-    rf"""
+_SIMHASH_SQL = rf"""
     WITH toks AS (
       SELECT doc_id AS id,
              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
@@ -915,11 +916,29 @@ _SIMHASH_VAL_SQL = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" f
     hs AS (SELECT id, {phash_sql('tok')} AS h FROM toks WHERE tok <> ''),
     bits AS (SELECT id, {_SIMHASH_BITSUM_SQL} FROM hs GROUP BY id)
     SELECT id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash FROM bits
-    """,
-)
+    """
+
+
+@_q("simhash_fingerprints", _SIMHASH_SQL)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (sign-sum over token hashes)."""
     return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    simhash_hamming_pairs,
+    simhash_hamming_sql,
+)
+
+
+@_q("simhash_hamming_pairs", simhash_hamming_sql(_SIMHASH_SQL, bits=16, max_hamming=2))
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming ≤ 2 neighbor pairs via bit-block banding (pigeonhole
+    over 3 disjoint bit blocks → bucket joins, exact popcount verify) —
+    the near-dup search simhash_dup_groups' hamming-0 grouping can't do."""
+    return simhash_hamming_pairs(
+        load(spark, sf_dir, "documents"), bits=16, max_hamming=2
+    )
 
 
 _DOT_SQL = (
@@ -1069,6 +1088,75 @@ def page_metadata_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
         F.substring("text", 1, 40).alias("description"),
+    )
+
+
+# HTML synthesizer shared (textually) by Spark and DuckDB: each doc_id
+# residue class omits different tags, exercising every fallback chain of
+# scrape.py:104-199 (title → og:title → h1; meta desc → og:desc → p;
+# og:image → img src; link icon / shortcut icon / url fallback; theme-color
+# → null). The oracle derives the expected struct from the generation rule
+# directly, so the UDF's regex parsing must invert the generator exactly.
+_SYNTH_HTML_SQL = """
+    '<html><head>'
+    || CASE doc_id % 3
+         WHEN 0 THEN '<title>Title ' || doc_id || '</title><meta property="og:title" content="OG ' || doc_id || '">'
+         WHEN 1 THEN '<meta property="og:title" content="OG ' || doc_id || '">'
+         ELSE '' END
+    || CASE doc_id % 4
+         WHEN 0 THEN '<meta name="description" content="Meta desc ' || doc_id || '">'
+         WHEN 1 THEN '<meta property="og:description" content="OG desc ' || doc_id || '">'
+         ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '<meta property="og:image" content="https://img/' || doc_id || '.png">' ELSE '' END
+    || CASE doc_id % 5
+         WHEN 0 THEN '<link rel="icon" href="/icon' || doc_id || '.ico">'
+         WHEN 1 THEN '<link rel="shortcut icon" href="/sc' || doc_id || '.ico">'
+         ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '<meta name="theme-color" content="#00ff0' || (doc_id % 10) || '">' ELSE '' END
+    || '</head><body>'
+    || '<h1>H1 ' || lang || '</h1>'
+    || '<p>First para ' || source || '</p>'
+    || CASE WHEN doc_id % 2 = 1 THEN '<img src="/body' || doc_id || '.jpg">' ELSE '' END
+    || '</body></html>'
+"""
+_SYNTH_URL_SQL = "'https://site' || (doc_id % 9) || '/page/' || doc_id"
+
+
+@_q(
+    "page_metadata_full",
+    f"""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'Title ' || doc_id
+                      WHEN 1 THEN 'OG ' || doc_id
+                      ELSE 'H1 ' || lang END AS title,
+      CASE doc_id % 4 WHEN 0 THEN 'Meta desc ' || doc_id
+                      WHEN 1 THEN 'OG desc ' || doc_id
+                      ELSE 'First para ' || source END AS description,
+      CASE WHEN doc_id % 2 = 0 THEN 'https://img/' || doc_id || '.png'
+           ELSE '/body' || doc_id || '.jpg' END AS image,
+      CASE doc_id % 5 WHEN 0 THEN '/icon' || doc_id || '.ico'
+                      WHEN 1 THEN '/sc' || doc_id || '.ico'
+                      ELSE {_SYNTH_URL_SQL} || '/favicon.ico' END AS favicon,
+      CASE WHEN doc_id % 7 = 0 THEN '#00ff0' || (doc_id % 10) ELSE NULL END AS theme_color
+    FROM documents
+    """,
+)
+def page_metadata_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/F10 — the reference's flagship single-URL query
+    (scrape.py:104-199): all FIVE metadata fallback chains, run by the
+    real regex-parsing pandas UDF over synthesized HTML, oracle-checked
+    against an independent derivation of what each chain must return."""
+    from read_comp_data_pipeline_spark.functions.extract import page_metadata_udf
+
+    d = load(spark, sf_dir, "documents")
+    md = page_metadata_udf(F.expr(_SYNTH_HTML_SQL), F.expr(_SYNTH_URL_SQL))
+    return d.withColumn("_m", md).select(
+        "doc_id",
+        F.col("_m.title").alias("title"),
+        F.col("_m.description").alias("description"),
+        F.col("_m.image").alias("image"),
+        F.col("_m.favicon").alias("favicon"),
+        F.col("_m.theme_color").alias("theme_color"),
     )
 
 

@@ -94,3 +94,27 @@ def test_resize_preserves_aspect_and_is_deterministic(assets):
         assert abs((r["width"] / r["height"]) / (w / h) - 1) < 0.2
     out2 = {r["asset_id"]: r["data_sha"] for r in resize_images(assets, max_side=64, fake=True).collect()}
     assert out2 == {k: v["data_sha"] for k, v in rows.items()}
+
+
+def test_decode_stub_is_honest_about_codec_absence():
+    """The decode stub is justified ONLY while the codec libraries are
+    actually absent from the environment. If PIL ever appears here, this
+    test fails on purpose: replace the stub with a real decode path."""
+    import importlib.util
+
+    assert importlib.util.find_spec("PIL") is None, (
+        "PIL is importable — the multimodal decode stub is no longer "
+        "justified; implement the real decode path"
+    )
+
+
+def test_fake_paths_have_no_iterrows():
+    """The vectorized-UDF rule applies inside mapInPandas bodies too:
+    row-at-a-time pandas iteration is the same anti-pattern as a row
+    Python UDF."""
+    import inspect
+
+    from read_comp_data_pipeline_spark.operators import multimodal
+
+    src = inspect.getsource(multimodal)
+    assert ".iterrows(" not in src and ".itertuples(" not in src

@@ -184,3 +184,37 @@ def test_winnowing_robust_to_local_edits(spark):
     overlap = len(a & b) / len(a)
     assert overlap > 0.8, f"fingerprint survival {overlap}"
     assert a != b  # the edit is still detectable
+
+
+def test_simhash_hamming_pairs_find_planted_bit_flips(spark):
+    """Documents edited just enough to flip 1-2 simhash bits must surface
+    as hamming<=2 pairs; unrelated documents must not."""
+    from read_comp_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    docs = [
+        (0, base),
+        (1, base + " lambda"),                 # tiny suffix edit
+        (2, base.replace("kappa", "kappa2", 2)),  # small token change
+        (3, "totally different vocabulary with nothing shared at all " * 8),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df, max_hamming=2).collect()
+    }
+    # every true hamming<=2 pair is found with the exact distance, none missed
+    for a in range(4):
+        for b in range(a + 1, 4):
+            if ham(a, b) <= 2:
+                assert pairs.get((a, b)) == ham(a, b), (a, b, ham(a, b), pairs)
+            else:
+                assert (a, b) not in pairs
+    # the planted near-dups really are near (and the outlier is not)
+    assert ham(0, 1) <= 2 and ham(0, 2) <= 2
+    assert ham(0, 3) > 2
