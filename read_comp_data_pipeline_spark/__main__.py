@@ -16,6 +16,7 @@ Commands:
   ingest    — replay the WAL into the MERGE table (resumable)
   stream    — same via Structured Streaming (AvailableNow)
   compact   — fold MOR deltas into the base
+  compact-sidecars — fold per-epoch manifest/metrics files into one
   vacuum    — expire old snapshots + unreferenced files
   show      — table summary (row count, last epoch, manifest tail)
 """
@@ -51,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
 
-    for name in ("compact", "vacuum", "show"):
+    for name in ("compact", "compact-sidecars", "vacuum", "show"):
         p = sub.add_parser(name)
         p.add_argument("--table", required=True)
         if name == "vacuum":
@@ -104,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).compact_table()))
+    elif args.cmd == "compact-sidecars":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).compact_sidecars()))
     elif args.cmd == "vacuum":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

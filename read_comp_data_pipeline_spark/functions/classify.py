@@ -36,8 +36,21 @@ def keyword_flags(content: Column, terms: list[str] | None = None) -> Column:
 
 def keyword_hits(content: Column, terms: list[str] | None = None) -> Column:
     """Number of matching terms — the reference's ``sum([bool, ...])``
-    (A1/F14) as a horizontal aggregate: size(filter(flags, identity))."""
-    return F.size(F.filter(keyword_flags(content, terms), lambda x: x))
+    (A1/F14).
+
+    Shape matters at scale: this is a plain sum of int-cast containment
+    checks, NOT ``size(filter(array(...), identity))`` — higher-order
+    array functions are interpreted (they drop the whole projection out of
+    WholeStageCodegen), measured at ~2× the cost of the codegen'd sum on
+    content-sized strings. Same values, cheaper plan.
+    """
+    terms = terms or TERMS_BFS
+    low = F.lower(content)
+    out = None
+    for t in terms:
+        e = low.contains(t).cast("int")
+        out = e if out is None else out + e
+    return out
 
 
 def passes_classifier(
@@ -50,5 +63,11 @@ def passes_classifier(
 
 
 def has_keyword(text: Column, terms: list[str] | None = None) -> Column:
-    """Any-of containment (query_gpt.py:8-12) via exists()."""
-    return F.exists(keyword_flags(text, terms), lambda x: x)
+    """Any-of containment (query_gpt.py:8-12) — codegen'd OR chain."""
+    terms = terms or TERMS_BFS
+    low = F.lower(text)
+    out = None
+    for t in terms:
+        e = low.contains(t)
+        out = e if out is None else out | e
+    return out

@@ -28,6 +28,10 @@ the exact statement the engine issues when one is present):
   bytes). Side files are anchored by the snapshot: readers filter to
   ``epoch <= snapshot.epoch``, so an orphan file from a crashed commit
   is invisible and gets atomically overwritten on the retried epoch.
+  :meth:`compact_sidecars` folds the per-epoch files into one
+  consolidated file per side-table — maintenance like vacuum, NOT on
+  the hot loop (each invocation rewrites the consolidated file, so a
+  per-N-epochs cadence would reintroduce the quadratic cost).
 * **transactional schema evolution.** Add-column / type-widening is a
   metadata-only snapshot commit; old data files are read with the schema
   they were written with and aligned (cast + null-fill) at scan time.
@@ -88,8 +92,9 @@ def _globs(dirs: list[str]) -> list[str]:
     return [os.path.join(d, "*.parquet") for d in dirs]
 
 
-def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project df onto ``schema``: cast matching columns, null-fill missing.
+def _align(df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Project df onto ``schema``: cast matching columns, null-fill missing
+    (``keep`` columns ride along untouched, e.g. a precomputed ``_b``).
 
     This is what makes add-column and type-widening evolution metadata-only:
     files written under an old schema are aligned at scan time.
@@ -101,6 +106,7 @@ def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols.extend(F.col(k) for k in keep if k in have)
     return df.select(*cols)
 
 
@@ -476,17 +482,26 @@ class HashMergeTable:
         with_op_schema = T.StructType(
             list(cur_schema.fields) + [T.StructField("op", T.StringType(), True)]
         )
-        with_op = _align(source, with_op_schema)
-        delta = with_op.withColumn("_b", bucket_expr(n_buckets, key_cols))
+        pre_bucketed = "_b" in source.columns
+        with_op = _align(source, with_op_schema, keep=("_b",) if pre_bucketed else ())
         data_dir = f"delta/e{epoch:010d}"
         out_path = os.path.join(self.path, data_dir)
-        # single action: shuffle keyed by bucket → one file per bucket dir
-        (
-            delta.repartition(n_buckets, F.col("_b"))
-            .write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(out_path)
-        )
+        if pre_bucketed:
+            # the ingest loop already placed the one full-row shuffle
+            # (bucket+salt, BEFORE the extraction UDF — see
+            # ingest.prebucket_for_merge); each task holds whole
+            # (bucket, salt) groups, so the partitionBy write emits a
+            # bounded ≤ n_salts files per bucket with no further shuffle
+            with_op.write.mode("overwrite").partitionBy("_b").parquet(out_path)
+        else:
+            delta = with_op.withColumn("_b", bucket_expr(n_buckets, key_cols))
+            # single action: shuffle keyed by bucket → one file per bucket dir
+            (
+                delta.repartition(n_buckets, F.col("_b"))
+                .write.mode("overwrite")
+                .partitionBy("_b")
+                .parquet(out_path)
+            )
         bucket_rows = self._written_bucket_counts(out_path)
         if sum(bucket_rows.values()) == 0:
             return self._commit_noop(snap, epoch, lo, hi, t0)
@@ -728,13 +743,83 @@ class HashMergeTable:
         self._append_side_rows("metrics", epoch, rows, schema)
 
     def _read_side(self, kind: str, raw_schema: T.StructType) -> DataFrame | None:
+        """Side-table scan = consolidated file (if any) + per-epoch files
+        newer than the consolidation watermark. Stale per-epoch files left
+        behind by a crash mid-:meth:`compact_sidecars` are excluded by the
+        watermark, so no row ever appears twice."""
+        snap = self._snapshot()
         d = os.path.join(self.path, kind)
-        if not os.path.isdir(d) or not any(n.endswith(".parquet") for n in os.listdir(d)):
+        if not os.path.isdir(d):
             return None
-        df = self.spark.read.schema(raw_schema).parquet(os.path.join(d, "*.parquet"))
+        through = int(snap.get(f"{kind}_compacted_through", -1))
+        parts = []
+        allf = os.path.join(d, "all.parquet")
+        if os.path.exists(allf):
+            parts.append(self.spark.read.schema(raw_schema).parquet(allf))
+        epoch_files = [
+            os.path.join(d, n)
+            for n in os.listdir(d)
+            if n.startswith("e") and n.endswith(".parquet")
+            and int(n[1:-8]) > through
+        ]
+        if epoch_files:
+            parts.append(self.spark.read.schema(raw_schema).parquet(*epoch_files))
+        if not parts:
+            return None
+        df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         # anchor to the committed snapshot: orphan files from a crashed
         # commit carry epoch > snapshot.epoch and are filtered out
-        return df.where(F.col("epoch") <= F.lit(self.last_epoch))
+        return df.where(F.col("epoch") <= F.lit(snap["epoch"]))
+
+    def compact_sidecars(self) -> dict[str, Any]:
+        """Maintenance: fold the per-epoch manifest/metrics files into one
+        consolidated ``all.parquet`` per side-table (the small-files
+        answer at 10^5 epochs — the analogue of Iceberg's manifest
+        rewrite). Crash-safe ordering: write the new consolidated file
+        (atomic replace) → commit the watermark in the snapshot → delete
+        the folded per-epoch files. A crash between any two steps leaves
+        stale per-epoch files that the watermark already excludes from
+        reads; the next compaction removes them."""
+        import pyarrow.parquet as pq
+
+        t0 = time.monotonic()
+        snap = self._snapshot()
+        folded: dict[str, int] = {}
+        for kind in ("manifest", "metrics"):
+            d = os.path.join(self.path, kind)
+            if not os.path.isdir(d):
+                continue
+            through = int(snap.get(f"{kind}_compacted_through", -1))
+            epoch_files = sorted(
+                n for n in os.listdir(d)
+                if n.startswith("e") and n.endswith(".parquet")
+                and through < int(n[1:-8]) <= snap["epoch"]
+            )
+            if not epoch_files:
+                continue
+            import pyarrow as pa
+
+            tables = [pq.read_table(os.path.join(d, n)) for n in epoch_files]
+            allf = os.path.join(d, "all.parquet")
+            if os.path.exists(allf):
+                tables.insert(0, pq.read_table(allf))
+            merged = pa.concat_tables(tables)
+            tmp = os.path.join(d, f".all.{uuid.uuid4().hex}.tmp")
+            pq.write_table(merged, tmp)
+            os.replace(tmp, allf)
+            snap[f"{kind}_compacted_through"] = int(snap["epoch"])
+            folded[kind] = len(epoch_files)
+        if not folded:
+            return {"skipped": True}
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        for kind in folded:
+            d = os.path.join(self.path, kind)
+            through = int(self._snapshot()[f"{kind}_compacted_through"])
+            for n in os.listdir(d):
+                if n.startswith("e") and n.endswith(".parquet") and int(n[1:-8]) <= through:
+                    os.remove(os.path.join(d, n))
+        return {"skipped": False, "folded": folded, "secs": time.monotonic() - t0}
 
     def manifest(self) -> DataFrame:
         raw = self._read_side("manifest", self._MANIFEST_RAW)

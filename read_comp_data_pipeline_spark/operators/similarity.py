@@ -154,6 +154,38 @@ def lsh_ann_topk(
     )
 
 
+def _plane_sql(p: int, dim: int) -> str:
+    """The plane's literal component array, rendered for DuckDB."""
+    return "[" + ", ".join(repr(_plane_component(p, d)) for d in range(dim)) + "]::DOUBLE[]"
+
+
+def lsh_sig_sql(vexpr: str, n_planes: int, dim: int) -> str:
+    """DuckDB rendering of :func:`lsh_signature` over ``vexpr`` — exact,
+    because the hyperplanes are deterministic literals embedded verbatim."""
+
+    def dot_lit(p: int) -> str:
+        return (
+            f"list_aggregate(list_transform(list_zip({vexpr}, {_plane_sql(p, dim)}),"
+            " x -> x[1] * x[2]), 'sum')"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN ({dot_lit(p)}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+_DOT_SQL = "list_aggregate(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
+_NRM_SQL = "sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)}) / "
+        f"(({_NRM_SQL.format(a=a)}) * ({_NRM_SQL.format(a=b)}))"
+    )
+
+
 def lsh_oracle_sql(
     k: int = 5,
     n_planes: int = 8,
@@ -171,27 +203,10 @@ def lsh_oracle_sql(
     rounded cosines replicate the Spark plan bit-for-bit — a full value
     oracle for an ANN operator, not just a recall verdict."""
 
-    def arr(p: int) -> str:
-        return "[" + ", ".join(repr(_plane_component(p, d)) for d in range(dim)) + "]::DOUBLE[]"
-
-    def dot_lit(vexpr: str, p: int) -> str:
-        return (
-            f"list_aggregate(list_transform(list_zip({vexpr}, {arr(p)}),"
-            " x -> x[1] * x[2]), 'sum')"
-        )
-
     def sig(vexpr: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN ({dot_lit(vexpr, p)}) >= 0 THEN {2 ** p} ELSE 0 END)"
-            for p in range(n_planes)
-        )
+        return lsh_sig_sql(vexpr, n_planes, dim)
 
-    dot = "list_aggregate(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
-    nrm = "sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
-    cos = (
-        f"({dot.format(a='qv', b='cv')}) / "
-        f"(({nrm.format(a='qv')}) * ({nrm.format(a='cv')}))"
-    )
+    cos = cosine_sql("qv", "cv")
     probes = "[sig, " + ", ".join(f"xor(sig, {2 ** p})" for p in range(n_planes)) + "]"
     v = f"CAST({vec_col} AS DOUBLE[])"
     return f"""
@@ -280,6 +295,55 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.30,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket — the 100 TB path
+    :func:`embedding_near_dup_pairs` documents: the self-join shuffles on
+    the signature only, so candidate volume is Σ bucket² instead of N².
+    Deterministic (literal hyperplanes) → exact DuckDB oracle via
+    :func:`emb_near_dup_lsh_sql`. Near-dups differing on a plane side are
+    missed by design — the standard LSH recall trade."""
+    sig = lsh_signature(F.col(vec_col), n_planes, dim)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), sig.alias("bucket"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), sig.alias("bucket"))
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def emb_near_dup_lsh_sql(
+    threshold: float = 0.30,
+    n_planes: int = 6,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB rendering of :func:`embedding_near_dup_lsh`."""
+    v = f"CAST({vec_col} AS DOUBLE[])"
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id, {v} AS v, ({lsh_sig_sql(v, n_planes, dim)}) AS bucket
+      FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b, round({cosine_sql('a.v', 'b.v')}, 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE round({cosine_sql('a.v', 'b.v')}, 6) >= {threshold}
+    """
 
 
 def embedding_near_dup_pairs(

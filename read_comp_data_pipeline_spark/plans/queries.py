@@ -998,7 +998,21 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.30)
 
 
-from read_comp_data_pipeline_spark.operators.similarity import lsh_oracle_sql
+from read_comp_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    emb_near_dup_lsh_sql,
+    lsh_oracle_sql,
+)
+
+
+@_q("emb_near_dup_lsh", emb_near_dup_lsh_sql(threshold=0.30, n_planes=6, dim=64))
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket — the scale path
+    (label-blocking in emb_near_dup_pairs stands in for exactly this at
+    100 TB). Deterministic hyperplanes → exact value oracle."""
+    from read_comp_data_pipeline_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.30, n_planes=6, dim=64)
 
 
 @_q("ann_lsh_topk", lsh_oracle_sql(k=5, n_planes=8, dim=64, n_queries=8))

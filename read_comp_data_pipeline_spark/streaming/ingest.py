@@ -72,20 +72,28 @@ def prepare_target_rows(slice_df: DataFrame, enrich: bool = True) -> DataFrame:
         n_tokens = (
             F.length(content) - F.length(F.replace(content, F.lit(" "), F.lit(""))) + 1
         ).cast("long")
+        # kw_hits lands in its own projection and quality references the
+        # COLUMN: the classifier (13 contains over lowered content) is
+        # evaluated once per row, not once per consumer (CollapseProject
+        # keeps the projections apart when an alias is multiply referenced)
+        df = df.withColumn("kw_hits", live(keyword_hits(content).cast("int")))
         quality = F.round(
             F.least(
                 F.lit(1.0),
                 F.when((F.length(content) >= 200) & (F.length(content) <= 50000), 0.5)
                 .otherwise(0.2)
-                + F.least(keyword_hits(content).cast("double") / 10.0, F.lit(0.5)),
+                + F.least(F.col("kw_hits").cast("double") / 10.0, F.lit(0.5)),
             ),
             4,
         )
         df = (
-            df.withColumn("kw_hits", live(keyword_hits(content).cast("int")))
-            .withColumn("quality", live(quality))
+            df.withColumn("quality", live(quality))
             .withColumn("n_tokens", live(n_tokens))
-            .withColumn("fingerprint", live(F.md5(content)))
+            # exact-dup fingerprint derived from the sha256 already computed
+            # over the content — grouping needs any collision-resistant
+            # digest; a second full hash pass over multi-KB content buys
+            # nothing (measured: one md5 pass ≈ one sha pass over the epoch)
+            .withColumn("fingerprint", live(F.substring(F.col("content_sha"), 1, 32)))
         )
     return df
 
@@ -133,6 +141,34 @@ def validate_slice(slice_df: DataFrame, validator=None) -> tuple[DataFrame, Data
     return good, bad
 
 
+def prebucket_for_merge(
+    df: DataFrame, n_buckets: int, parallelism: int, order_col: str = "seq"
+) -> DataFrame:
+    """Place the epoch's ONE full-row shuffle BEFORE the extraction UDF:
+    repartition by (bucket, salt) into max(n_buckets, ~3×cores) partitions.
+
+    Why: scan parallelism is capped by the source's row-group count
+    (wal.epoch_stats n_read_units) — a WAL epoch laid out as a few big
+    files would bind the expensive UDF stage to that layout (e.g. 41 read
+    units on 32 cores = 1.3 task waves with stragglers). After this
+    shuffle the UDF runs at full cluster parallelism, hot buckets are
+    split across salts, and the MOR delta write needs no further shuffle
+    (each task holds whole (bucket, salt) groups → ≤ n_salts files per
+    bucket). Same total shuffle count as before — the shuffle just moved
+    to where it also buys UDF parallelism.
+    """
+    import math
+
+    from read_comp_data_pipeline_spark.operators.merge import bucket_expr
+
+    n_salts = max(1, math.ceil(3 * parallelism / n_buckets))
+    target = n_buckets * n_salts
+    out = df.withColumn("_b", bucket_expr(n_buckets)).withColumn(
+        "_salt", F.pmod(F.xxhash64(order_col), F.lit(n_salts))
+    )
+    return out.repartition(target, F.col("_b"), F.col("_salt")).drop("_salt")
+
+
 @dataclass
 class IngestStats:
     epochs_applied: int = 0
@@ -160,6 +196,7 @@ def run_ingest(
     validator=None,
     max_attempts: int = 3,
     compact_threshold: int = 5_000_000,
+    prebucket_min_events: int = 100_000,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
 
@@ -205,6 +242,7 @@ def run_ingest(
             quarantine=quarantine, fail_after_epoch=fail_after_epoch,
             validator=validator, max_attempts=max_attempts,
             compact_threshold=compact_threshold,
+            prebucket_min_events=prebucket_min_events,
         )
     finally:
         if prev_mpb is not None:
@@ -217,6 +255,7 @@ def _run_epochs(
     spark, table, wal_path, table_path, hi_epoch, stats,
     *, extract, mode, compact_every, quarantine, fail_after_epoch,
     validator=None, max_attempts=3, compact_threshold=5_000_000,
+    prebucket_min_events=100_000,
 ) -> None:
     from read_comp_data_pipeline_spark.operators.merge import bucket_expr
 
@@ -224,13 +263,19 @@ def _run_epochs(
         slice_df = wal_src.read_epoch(spark, wal_path, epoch)
 
         # slice metadata from parquet footers (pyarrow, no Spark job): seq
-        # range + event count → lag metric + compaction-strategy choice.
-        lo, hi, cnt = wal_src.epoch_stats(wal_path, epoch)
-        _, tail_hi, _ = wal_src.epoch_stats(wal_path, hi_epoch)
+        # range + event count → lag metric + compaction-strategy choice;
+        # row-group count → extraction-parallelism guard.
+        lo, hi, cnt, units = wal_src.epoch_stats(wal_path, epoch)
+        _, tail_hi, _, _ = wal_src.epoch_stats(wal_path, hi_epoch)
         lag = max(0, int(tail_hi) - int(hi)) if (tail_hi is not None and hi is not None) else 0
         # size-based degradation guard: above the threshold the epoch's key
         # set can't be assumed broadcastable — fall back to the shuffle agg
         strategy = "broadcast_semi" if cnt <= compact_threshold else "agg"
+        # parallelism guard: a large epoch whose file layout can't feed the
+        # cluster (few row groups) gets its bucket shuffle moved BEFORE the
+        # UDF so extraction runs at full width (prebucket_for_merge)
+        par = spark.sparkContext.defaultParallelism
+        do_prebucket = cnt >= prebucket_min_events and units < 2 * par
 
         if quarantine:
             # re-drive previously quarantined rows (attempt escalation:
@@ -264,9 +309,11 @@ def _run_epochs(
         # broadcast_semi compaction: only (key, seq) pairs shuffle; the
         # content payload flows scan → semi-join filter → extraction UDF →
         # bucket write with exactly ONE full-row shuffle (the bucket
-        # layout). UDF parallelism comes from the scan splits — sized by
-        # maxPartitionBytes above, no repartition needed.
+        # layout — placed before the UDF when the scan can't feed the
+        # cluster, after it otherwise).
         compacted = compact_latest(slice_df, strategy=strategy)
+        if do_prebucket:
+            compacted = prebucket_for_merge(compacted, table.n_buckets, par)
         src = prepare_target_rows(compacted) if extract else compacted
 
         # affected-bucket hint for COW (pruned key-columns-only scan): the
@@ -291,6 +338,7 @@ def _run_epochs(
             lag_events=lag,
         )
         res["compact_strategy"] = strategy
+        res["prebucketed"] = do_prebucket
         if res.get("skipped"):
             stats.epochs_skipped += 1
         else:

@@ -32,7 +32,10 @@ from read_comp_data_pipeline_spark.operators.compact import compact_latest
 from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 from read_comp_data_pipeline_spark.schemas import TARGET_SCHEMA, WAL_SCHEMA
 from read_comp_data_pipeline_spark.streaming.evolve import ensure_evolved
-from read_comp_data_pipeline_spark.streaming.ingest import prepare_target_rows
+from read_comp_data_pipeline_spark.streaming.ingest import (
+    prebucket_for_merge,
+    prepare_target_rows,
+)
 
 
 def stream_ingest(
@@ -81,7 +84,15 @@ def stream_ingest(
             # per-key seq-aware (operators/merge.py), so a mixed batch
             # (replayed prefix + new suffix after checkpoint loss) applies
             # the new rows and no-ops the replayed ones
-            src = prepare_target_rows(compact_latest(batch_df, strategy=strategy))
+            compacted = compact_latest(batch_df, strategy=strategy)
+            if n >= 100_000:
+                # big batch: move the bucket shuffle before the UDF so
+                # extraction parallelism doesn't depend on file layout
+                compacted = prebucket_for_merge(
+                    compacted, table.n_buckets,
+                    spark.sparkContext.defaultParallelism,
+                )
+            src = prepare_target_rows(compacted)
             table.merge(
                 src,
                 table.last_epoch + 1,

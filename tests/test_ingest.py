@@ -347,3 +347,74 @@ def test_merge_is_seq_aware_under_out_of_order_replay(spark, tmp_path):
     table.merge(compact_latest(new, key_cols=["repo", "path"]), epoch=2)
     got2 = {r["path"]: (r["content"], r["seq"]) for r in table.read().collect()}
     assert got2 == got
+
+
+def test_sidecar_compaction_preserves_history_and_is_crash_safe(spark, tmp_path):
+    """compact_sidecars folds per-epoch manifest/metrics files into one
+    consolidated file without changing their contents; stale per-epoch
+    files left by a crash mid-compaction are excluded by the watermark."""
+    import os
+    import shutil
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 2000, n_keys=200, epoch_size=100), wal)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal, tbl, n_buckets=4)  # 20 epochs
+    t = HashMergeTable(spark, tbl)
+
+    def digest(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    m_before = digest(t.manifest())
+    k_before = digest(t.metrics().select("epoch", "partition", "events"))
+    res = t.compact_sidecars()
+    assert not res.get("skipped") and res["folded"]["manifest"] == 20
+
+    mdir = os.path.join(tbl, "manifest")
+    files = [n for n in os.listdir(mdir) if n.endswith(".parquet")]
+    assert files == ["all.parquet"]
+    assert digest(t.manifest()) == m_before
+    assert digest(t.metrics().select("epoch", "partition", "events")) == k_before
+
+    # crash simulation: a stale per-epoch file (epoch <= watermark)
+    # reappears — the watermark keeps it invisible, no duplicate rows
+    stale = os.path.join(mdir, "e0000000003.parquet")
+    shutil.copyfile(os.path.join(mdir, "all.parquet"), stale)
+    # (file content irrelevant; its epoch-index name is below the watermark)
+    assert digest(t.manifest()) == m_before
+    os.remove(stale)
+
+    # later epochs append fresh per-epoch files that reads pick up
+    write_wal(generate_change_events(spark, 2100, n_keys=200, epoch_size=100), wal)
+    run_ingest(spark, wal, tbl, n_buckets=4)
+    assert t.manifest().select("epoch").distinct().count() == 21
+    # idempotent second compaction folds only the new file
+    res2 = t.compact_sidecars()
+    assert res2["folded"]["manifest"] == 1
+    assert t.manifest().select("epoch").distinct().count() == 21
+
+
+def test_prebucketed_ingest_converges_and_bounds_files(spark, wal_path, tmp_path):
+    """The pre-UDF bucket+salt shuffle (extraction-parallelism guard) must
+    produce the identical final state, and MOR delta dirs must hold a
+    bounded <= n_salts files per bucket (no small-files explosion)."""
+    import math
+    import os
+
+    tbl = str(tmp_path / "t")
+    stats = run_ingest(spark, wal_path, tbl, n_buckets=4, mode="mor",
+                       compact_every=100, prebucket_min_events=0)
+    assert stats.per_epoch and all(e["prebucketed"] for e in stats.per_epoch)
+    expected = _final_expected(spark, wal_path)
+    assert _state_digest(HashMergeTable(spark, tbl).read()) == _state_digest(expected)
+
+    par = spark.sparkContext.defaultParallelism
+    n_salts = max(1, math.ceil(3 * par / 4))
+    ddir = os.path.join(tbl, "delta")
+    for e in sorted(os.listdir(ddir)):
+        for b in os.listdir(os.path.join(ddir, e)):
+            if not b.startswith("_b="):
+                continue
+            files = [n for n in os.listdir(os.path.join(ddir, e, b))
+                     if n.endswith(".parquet")]
+            assert 1 <= len(files) <= n_salts, (e, b, len(files))
