@@ -52,8 +52,8 @@ HEADLINE = [
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS
-BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000"))
-BENCH_EPOCH_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH", "100000"))
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+BENCH_EPOCH_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH", "1000000"))
 
 
 def time_query(fn, spark, sf_dir) -> float:
@@ -111,6 +111,7 @@ def main() -> None:
                 "events_per_sec": round(eps, 1),
                 "events_per_sec_cow": round(cow_eps, 1),
                 "replay_events": BENCH_EVENTS,
+                "replay_epoch_size": BENCH_EPOCH_SIZE,
             }
         )
     )

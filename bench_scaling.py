@@ -79,9 +79,10 @@ def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000
 
 def cpu_kernel(cpus: int) -> None:
     """Pure-JVM CPU kernel (sha256+xxhash over spark.range): measures the
-    HOST's attainable 8→32 scaling. On an oversubscribed VM even perfectly
-    parallel JVM work does not scale 4×; this calibrates the ceiling the
-    engine's efficiency is normalized against."""
+    HOST's attainable 8→32 scaling for CACHE-RESIDENT compute. On an
+    oversubscribed VM even perfectly parallel JVM work does not scale 4×;
+    this calibrates one ceiling the engine's efficiency is normalized
+    against."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -95,6 +96,34 @@ def cpu_kernel(cpus: int) -> None:
         F.xxhash64(F.sha2(F.col("id").cast("string").cast("binary"), 256)).alias("h")
     ).agg(F.sum(F.col("h").cast("decimal(38,0)"))).collect()
     print(json.dumps({"cpus": cpus, "kernel_secs": round(_t.monotonic() - t0, 1)}))
+
+
+def string_kernel(cpus: int, wal_path: str) -> None:
+    """CONTENT-workload kernel: one trivial JVM-only pass (scan + decompress
+    + lower + sha256) over the WAL's first epoch — the memory-bandwidth
+    ceiling for multi-KB string work on this host. A single-socket VM
+    saturates its memory controller well before 32 threads, so even this
+    one-pass job does not reach 4×; on a real N→4N *executor* cluster each
+    executor brings its own memory channels and this component scales. The
+    engine's efficiency is meaningfully read relative to THIS ceiling."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from read_comp_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        f"skern{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        extra_conf={"spark.local.dir": _fast_tmp("spark_local_")},
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    df = spark.read.parquet(os.path.join(wal_path, "epoch=0")).where("content is not null")
+    expr = F.xxhash64(F.sha2(F.encode(F.lower("content"), "utf-8"), 256))
+    df.agg(F.sum(expr.cast("decimal(38,0)"))).collect()  # warm
+    t0 = _t.monotonic()
+    df.agg(F.sum(expr.cast("decimal(38,0)"))).collect()
+    print(json.dumps({"cpus": cpus, "string_kernel_secs": round(_t.monotonic() - t0, 1)}))
 
 
 def _run_worker(cpus: int, wal_path: str, mode: str, what: str = "--worker") -> dict:
@@ -116,6 +145,7 @@ def main() -> None:
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--kernel", action="store_true")
+    ap.add_argument("--string-kernel", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--wal")
     args = ap.parse_args()
@@ -125,6 +155,9 @@ def main() -> None:
         return
     if args.kernel:
         cpu_kernel(args.cpus)
+        return
+    if args.string_kernel:
+        string_kernel(args.cpus, args.wal)
         return
 
     from read_comp_data_pipeline_spark.session import get_spark
@@ -151,10 +184,13 @@ def main() -> None:
         results[cpus] = best
 
     kernel = {}
+    skern = {}
     if not args.skip_kernel:
         for cpus in (8, 32):
             kernel[cpus] = _run_worker(cpus, "-", args.mode, what="--kernel")
             print(kernel[cpus])
+            skern[cpus] = _run_worker(cpus, wal_path, args.mode, what="--string-kernel")
+            print(skern[cpus])
 
     t8, t32 = results[8]["events_per_sec"], results[32]["events_per_sec"]
     eff = (t32 / t8) / 4 if t8 > 0 else 0.0
@@ -172,6 +208,11 @@ def main() -> None:
         summary["host_kernel_speedup"] = round(k_speed, 3)
         summary["host_kernel_efficiency"] = round(k_speed / 4, 3)
         summary["efficiency_vs_host_ceiling"] = round(eff / (k_speed / 4), 3)
+    if skern:
+        s_speed = skern[8]["string_kernel_secs"] / skern[32]["string_kernel_secs"]
+        summary["string_kernel_speedup"] = round(s_speed, 3)
+        summary["string_kernel_efficiency"] = round(s_speed / 4, 3)
+        summary["efficiency_vs_string_ceiling"] = round(eff / (s_speed / 4), 3)
     print(json.dumps(summary))
     write_baseline_md(summary, results)
     print("wrote BENCH/BASELINE.md")

@@ -44,6 +44,15 @@ def compact_latest(
       shuffles and never sorts**; the only exchange carries key+seq pairs.
       Valid while an epoch's distinct-key set fits a broadcast (engine
       epochs are sized for this; at 10^7+ keys/epoch use ``"agg"``).
+    * ``"broadcast_hash_semi"``: like broadcast_semi but the broadcast
+      carries ONE long per key — ``xxhash64(key..., max seq)`` — instead
+      of the key strings: ~6× smaller broadcast and a long-keyed hash
+      relation the driver builds several times faster (the broadcast build
+      is the dominant SERIAL cost per epoch once epochs reach 10^7
+      events). 64-bit collisions (P ≈ n²/2⁻⁶⁵) can only *keep* a
+      superseded row, never drop a live one — harmless in MOR where the
+      read path re-reconciles per key by max seq (the stale row loses),
+      so the MOR hot path uses this; COW sticks to the exact variant.
     * ``"agg"``: single ``max_by(struct(payload), order)`` aggregate.
       Shuffles full rows once; Catalyst compiles struct-buffer max_by to a
       SortAggregate (two full-data sorts) — correct and broadcast-free,
@@ -56,6 +65,17 @@ def compact_latest(
     if strategy == "broadcast_semi":
         latest = df.groupBy(*key_cols).agg(F.max(order_col).alias(order_col))
         return df.join(F.broadcast(latest), on=[*key_cols, order_col], how="left_semi")
+    if strategy == "broadcast_hash_semi":
+        latest = (
+            df.groupBy(*key_cols)
+            .agg(F.max(order_col).alias(order_col))
+            .select(F.xxhash64(*key_cols, order_col).alias("_h"))
+        )
+        return (
+            df.withColumn("_h", F.xxhash64(*key_cols, order_col))
+            .join(F.broadcast(latest), on="_h", how="left_semi")
+            .drop("_h")
+        )
     payload = [c for c in df.columns if c not in key_cols]
     packed = F.struct(*[F.col(c) for c in payload])
     out = df.groupBy(*key_cols).agg(F.max_by(packed, F.col(order_col)).alias("_p"))

@@ -196,7 +196,7 @@ def run_ingest(
     validator=None,
     max_attempts: int = 3,
     compact_threshold: int = 5_000_000,
-    prebucket_min_events: int = 100_000,
+    prebucket_min_events: int = 500_000,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
 
@@ -255,7 +255,7 @@ def _run_epochs(
     spark, table, wal_path, table_path, hi_epoch, stats,
     *, extract, mode, compact_every, quarantine, fail_after_epoch,
     validator=None, max_attempts=3, compact_threshold=5_000_000,
-    prebucket_min_events=100_000,
+    prebucket_min_events=500_000,
 ) -> None:
     from read_comp_data_pipeline_spark.operators.merge import bucket_expr
 
@@ -269,8 +269,15 @@ def _run_epochs(
         _, tail_hi, _, _ = wal_src.epoch_stats(wal_path, hi_epoch)
         lag = max(0, int(tail_hi) - int(hi)) if (tail_hi is not None and hi is not None) else 0
         # size-based degradation guard: above the threshold the epoch's key
-        # set can't be assumed broadcastable — fall back to the shuffle agg
-        strategy = "broadcast_semi" if cnt <= compact_threshold else "agg"
+        # set can't be assumed broadcastable — fall back to the shuffle agg.
+        # MOR gets the hash-semi variant (6× smaller broadcast, long-keyed
+        # build; collisions self-heal at read — compact.py docstring)
+        if cnt > compact_threshold:
+            strategy = "agg"
+        elif mode == "mor":
+            strategy = "broadcast_hash_semi"
+        else:
+            strategy = "broadcast_semi"
         # parallelism guard: a large epoch whose file layout can't feed the
         # cluster (few row groups) gets its bucket shuffle moved BEFORE the
         # UDF so extraction runs at full width (prebucket_for_merge)

@@ -79,13 +79,18 @@ def stream_ingest(
             # same size-based degradation guard as the batch loop: a batch
             # whose key set can't be assumed broadcastable takes the
             # shuffle-agg compaction instead of the broadcast-semi plan
-            strategy = "broadcast_semi" if n <= compact_threshold else "agg"
+            if n > compact_threshold:
+                strategy = "agg"
+            elif mode == "mor":
+                strategy = "broadcast_hash_semi"  # self-heals at read
+            else:
+                strategy = "broadcast_semi"
             # no row-level filtering against the watermark: the MERGE is
             # per-key seq-aware (operators/merge.py), so a mixed batch
             # (replayed prefix + new suffix after checkpoint loss) applies
             # the new rows and no-ops the replayed ones
             compacted = compact_latest(batch_df, strategy=strategy)
-            if n >= 100_000:
+            if n >= 500_000:
                 # big batch: move the bucket shuffle before the UDF so
                 # extraction parallelism doesn't depend on file layout
                 compacted = prebucket_for_merge(
