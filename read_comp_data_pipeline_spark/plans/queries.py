@@ -1344,6 +1344,51 @@ def prompt_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", "section_no", prompt.alias("prompt"))
 
 
+_CURATION_ORACLE = rf"""
+    WITH q AS ({_QUALITY_SQL.replace("{STOP_SQL}", _STOP_SQL)}),
+    l AS (
+      WITH scored AS (SELECT doc_id, text, {_LANG_BEST_SQL} AS best FROM documents)
+      SELECT doc_id,
+             CASE WHEN best > 0 THEN {_LANG_CASE_SQL} ELSE 'und' END AS pred_lang
+      FROM scored
+    ),
+    f AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT f.doc_id, f.fp, l.pred_lang, q.quality
+      FROM f JOIN l ON l.doc_id = f.doc_id JOIN q ON q.doc_id = f.doc_id
+      WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+    ),
+    keepers AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+    SELECT k.doc_id, k.pred_lang, k.quality
+    FROM kept k JOIN keepers kp ON kp.fp = k.fp AND kp.doc_id = k.doc_id
+"""
+
+
+@_q("curation_pipeline", _CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE declarative plan: quality
+    gate (≥0.5) + language filter (en) + exact-dedup keeper (min doc_id per
+    normalized fingerprint). All Column expressions + one hash aggregate +
+    one join — the canonical corpus-curation shape at 100 TB: the filters
+    push into the scan, the dedup groupBy is map-side combinable, and only
+    (fp, doc_id, pred_lang, quality) tuples ever shuffle."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.lang_id(F.col("text")).alias("pred_lang"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keepers, on=["fp", "doc_id"], how="inner").select(
+        "doc_id", "pred_lang", "quality"
+    )
+
+
 @_q(
     "approx_key_cardinality",
     """
