@@ -75,6 +75,8 @@ def test_compaction_matches_window_oracle(spark, wal_path):
     assert _state_digest(got) == _state_digest(expected)
     got_salted = compact_latest_salted(wal).where(F.col("op") != "D")
     assert _state_digest(got_salted) == _state_digest(expected)
+    got_hash = compact_latest(wal, strategy="broadcast_hash_semi").where(F.col("op") != "D")
+    assert _state_digest(got_hash) == _state_digest(expected)
 
 
 def test_golden_replay_sha_equality(spark, wal_path, tmp_path):

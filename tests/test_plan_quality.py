@@ -162,3 +162,16 @@ def test_q17_has_no_forced_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastExchange" not in plan
+
+
+def test_compaction_hash_semi_broadcasts_longs_only(spark, sf_dir):
+    """MOR hot-path compaction: the broadcast side is one xxhash64 long per
+    key (no key strings), the join is a broadcast LeftSemi, and the payload
+    never windows or sorts."""
+    ev = load(spark, sf_dir, "events").withColumnRenamed("event_id", "seq")
+    df = compact_latest(ev, key_cols=["user_id"], order_col="seq",
+                        strategy="broadcast_hash_semi")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "xxhash64" in plan
+    assert "Window" not in plan and "SortAggregate" not in plan
