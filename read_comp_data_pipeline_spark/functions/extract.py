@@ -97,6 +97,46 @@ def scan_sections(title: str | None, content: str | None) -> list[tuple[str, str
     return out
 
 
+def scan_first_section(title: str | None, content: str | None) -> tuple[str | None, str | None]:
+    """First (heading, text) pair of :func:`scan_sections`, computed in
+    O(prefix): the scan stops at the first header line instead of walking
+    the whole document — the ingest hot path stores only the lead section
+    (TARGET_SCHEMA heading/text), so scanning past it is pure waste on
+    multi-KB documents. (None, None) only for null content — the
+    well-defined form of what ``element_at(scan_sections(...), 1)`` raises
+    on under ANSI mode. Non-null content always yields a section (the
+    reference's final flush runs whenever any line was accumulated, and
+    every string has ≥1 line).
+
+    Equivalence with ``scan_sections(...)[0]`` is property-tested
+    (test_first_section_equals_full_scan).
+    """
+    if content is None:
+        return (None, None)
+    header = title or ""
+    desc_parts: list[str] = []
+    pos, n = 0, len(content)
+    while pos <= n:
+        nl = content.find("\n", pos)
+        line = content[pos:] if nl == -1 else content[pos:nl]
+        for marker, _lvl, _strip in _MARKERS:
+            if line.find(marker) != -1:
+                return (header, " ".join(desc_parts).strip() if desc_parts else "")
+        desc_parts.append(line)
+        if nl == -1:
+            break
+        pos = nl + 1
+    return (header, " ".join(desc_parts).strip())
+
+
+@pandas_udf(SECTION_SCHEMA)
+def first_section_udf(title: pd.Series, content: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [scan_first_section(t, c) for t, c in zip(title, content)],
+        columns=["heading", "text"],
+    )
+
+
 @pandas_udf(T.ArrayType(SECTION_SCHEMA))
 def scan_sections_udf(title: pd.Series, content: pd.Series) -> pd.Series:
     return pd.Series(

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from read_comp_data_pipeline_spark.functions.extract import (
     content_sha_expr,
-    scan_sections_udf,
+    first_section_udf,
     title_expr,
 )
 from read_comp_data_pipeline_spark.operators.compact import compact_latest
@@ -53,11 +53,14 @@ def prepare_target_rows(slice_df: DataFrame, enrich: bool = True) -> DataFrame:
     df = slice_df.withColumn(
         "title", F.when(is_del, F.lit(None)).otherwise(title_expr(F.col("content"), F.col("path")))
     )
-    first = F.element_at(scan_sections_udf(F.col("title"), F.col("content")), 1)
+    # O(prefix) lead-section scan: only the first (heading, text) pair is
+    # stored, so the UDF stops at the first header line instead of walking
+    # the whole document (functions/extract.scan_first_section)
+    s1 = first_section_udf(F.col("title"), F.col("content"))
     df = (
-        df.withColumn("_s1", F.when(~is_del, first))
-        .withColumn("heading", F.col("_s1.heading"))
-        .withColumn("text", F.col("_s1.text"))
+        df.withColumn("_s1", s1)
+        .withColumn("heading", F.when(~is_del, F.col("_s1.heading")))
+        .withColumn("text", F.when(~is_del, F.col("_s1.text")))
         .drop("_s1")
         .withColumn("content_sha", F.when(is_del, F.lit(None)).otherwise(content_sha_expr(F.col("content"))))
     )

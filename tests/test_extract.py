@@ -97,3 +97,69 @@ def test_metadata_fallback_chains():
     assert m2["favicon"] == "http://ex.com/favicon.ico"
     m3 = extract_page_metadata(None)
     assert all(v is None for v in m3.values())
+
+
+def test_first_section_equals_full_scan():
+    """scan_first_section must equal scan_sections(...)[0] on every input
+    that yields sections — tricky battery + deterministic grammar sweep."""
+    import hashlib
+
+    from read_comp_data_pipeline_spark.functions.extract import (
+        scan_first_section,
+        scan_sections,
+    )
+
+    docs = [
+        None, "", "plain text only", "== A ==", "x\n== A ==\nbody",
+        "text == mid == marker", "====== deep ======\nx", "\n", "\n\n",
+        "a\n\nb", "  spaced  \n== H ==", "== References ==\nhidden",
+    ]
+    for seed in range(60):
+        h = hashlib.md5(str(seed).encode()).digest()
+        lines = []
+        for i, byte in enumerate(h):
+            kind = byte % 7
+            if kind == 0:
+                lines.append(f"== w{byte} ==")
+            elif kind == 1:
+                lines.append(f"===== w{byte} =====")
+            elif kind == 2:
+                lines.append("")
+            elif kind == 3:
+                lines.append(f"mid == w{byte} == marker")
+            else:
+                lines.append(f"plain w{byte} line {i}")
+        docs.append("\n".join(lines))
+    for d in docs:
+        full = scan_sections("T", d)
+        first = scan_first_section("T", d)
+        if d is None:
+            assert first == (None, None)
+        else:
+            assert full, f"scan_sections empty for non-null content {d!r}"
+            assert first == full[0], (d, first, full[0])
+
+
+def test_ingest_handles_empty_string_content(spark, tmp_path):
+    """An upsert whose content is the empty string must ingest cleanly
+    (heading = title fallback, empty text) — not trip ANSI element_at."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+    from read_comp_data_pipeline_spark.schemas import WAL_SCHEMA
+    from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
+
+    rows = [
+        (0, 0, dt.datetime(2024, 1, 1), "I", "r1", "empty.py", "c0", "py", ""),
+        (1, 0, dt.datetime(2024, 1, 1, 0, 0, 1), "I", "r1", "ok.py", "c1", "py", "hello"),
+    ]
+    nullable = T.StructType([T.StructField(f.name, f.dataType, True) for f in WAL_SCHEMA.fields])
+    wal = str(tmp_path / "wal")
+    spark.createDataFrame(rows, nullable).write.partitionBy("epoch").parquet(wal)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal, tbl, n_buckets=2)
+    got = {r["path"]: (r["heading"], r["text"]) for r in HashMergeTable(spark, tbl).read().collect()}
+    assert got["empty.py"] == ("empty.py", "")  # title falls back to path
+    assert got["ok.py"] == ("hello", "hello")
