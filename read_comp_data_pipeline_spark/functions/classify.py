@@ -43,6 +43,13 @@ def keyword_hits(content: Column, terms: list[str] | None = None) -> Column:
     array functions are interpreted (they drop the whole projection out of
     WholeStageCodegen), measured at ~2× the cost of the codegen'd sum on
     content-sized strings. Same values, cheaper plan.
+
+    NULL contract: a NULL ``content`` counts as 0 hits (the reference's
+    ``sum([t in page for t in terms])`` never sees None — an unfetchable
+    page is skipped upstream — and the pre-round-2 ``size(filter(...))``
+    form returned 0 too). Without the coalesce, ``contains`` propagates
+    NULL through the sum and downstream ``least``/aggregations silently
+    skip the row instead of scoring it 0.
     """
     terms = terms or TERMS_BFS
     low = F.lower(content)
@@ -50,7 +57,7 @@ def keyword_hits(content: Column, terms: list[str] | None = None) -> Column:
     for t in terms:
         e = low.contains(t).cast("int")
         out = e if out is None else out + e
-    return out
+    return F.coalesce(out, F.lit(0))
 
 
 def passes_classifier(

@@ -140,11 +140,11 @@ def resize_images(df: DataFrame, max_side: int = 64, fake: bool = False) -> Data
                 [m if m is not None else {} for m in pdf["meta"]],
                 index=pdf.index,
             )
-            sel = (
-                (pdf["kind"] == "image")
-                & meta.get("width", pd.Series(index=pdf.index, dtype="float")).notna()
-                & meta.get("height", pd.Series(index=pdf.index, dtype="float")).notna()
-            )
+            w_s = meta.get("width", pd.Series(index=pdf.index, dtype="float"))
+            h_s = meta.get("height", pd.Series(index=pdf.index, dtype="float"))
+            # zero/negative dimensions are skipped like missing ones (a 0
+            # would divide-by-zero in the scale arithmetic below)
+            sel = (pdf["kind"] == "image") & (w_s > 0) & (h_s > 0)
             if not sel.any():
                 yield pd.DataFrame(
                     {"asset_id": pd.Series(dtype="int64"),

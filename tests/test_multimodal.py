@@ -96,6 +96,26 @@ def test_resize_preserves_aspect_and_is_deterministic(assets):
     assert out2 == {k: v["data_sha"] for k, v in rows.items()}
 
 
+def test_resize_skips_zero_dimension_assets(spark):
+    """A width/height of 0 must be skipped like a missing dimension — not
+    divide-by-zero into a spurious 1x1 row."""
+    from read_comp_data_pipeline_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"ok", (100, 50, None, None)),
+        (2, "image", b"zero-w", (0, 50, None, None)),
+        (3, "image", b"zero-h", (100, 0, None, None)),
+        (4, "image", b"missing", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in resize_images(df, max_side=64, fake=True).collect()}
+    assert set(out) == {1}
+    assert (out[1]["width"], out[1]["height"]) == (64, 32)
+
+
 def test_decode_stub_is_honest_about_codec_absence():
     """The decode stub is justified ONLY while the codec libraries are
     actually absent from the environment. If PIL ever appears here, this
