@@ -327,6 +327,7 @@ class HashMergeTable:
         affected_buckets: list[int] | None = None,
         src_rows: int | None = None,
         lag_events: int = 0,
+        src_keys_broadcastable: bool = True,
     ) -> dict[str, Any]:
         """Apply one compacted epoch slice. Source must have ≤1 row per key
         plus an ``op`` column ('I'/'U'/'D'); all non-op columns must exist in
@@ -337,6 +338,13 @@ class HashMergeTable:
         key columns only) that let the MERGE run as a single Spark action:
         without them the source lineage (which may contain the expensive
         extraction UDF) would be executed once per metadata query.
+
+        ``src_keys_broadcastable``: set False when the epoch's key set is
+        too large for a driver-built broadcast (the ingest loop passes
+        ``event_count <= compact_threshold``, the same footer-derived gate
+        that switches the compaction strategy). The COW probe joins then
+        run as plain shuffled joins — heavier but bounded; AQE may still
+        upgrade them at runtime if the statistics allow.
 
         Returns a stats dict; skips (idempotently) if ``epoch`` was already
         committed.
@@ -350,7 +358,6 @@ class HashMergeTable:
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
-        cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
 
         src = source.withColumn("_b", bucket_expr(n_buckets, key_cols))
         if affected_buckets is not None:
@@ -360,42 +367,7 @@ class HashMergeTable:
         if not affected:
             return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0)
 
-        # MERGE arms, relationally and PER-KEY SEQ-AWARE (a source row wins
-        # only if its order_col beats the target's current row — Iceberg's
-        # "WHEN MATCHED AND s.seq > t.seq"):
-        #   kept    = target rows whose key is absent from source OR whose
-        #             seq >= the source row's seq
-        #   applied = source non-deletes minus keys the target won
-        # Seq-awareness makes the MERGE idempotent at the ROW level: any
-        # subset of the WAL replayed in any order converges (equal seq →
-        # target wins → replay is a no-op), which is what lets the
-        # streaming variant survive checkpoint loss (streaming/stream.py).
-        # The source (key, seq) set — one compacted epoch, pruned columns —
-        # is broadcast, so the target side streams through both probes
-        # without shuffling or sorting; tgt_wins is ≤ |source keys| rows.
-        order = snap.get("order_col", "seq")
-        src_keys = src.select(*key_cols, F.col(order).alias("_sseq"))
-        tgt = self.read(buckets=affected, at_snapshot=snap)
-        kept = (
-            tgt.join(F.broadcast(src_keys), on=key_cols, how="left")
-            .where(F.col("_sseq").isNull() | (F.col("_sseq") <= F.col(order)))
-            .drop("_sseq")
-        )
-        tgt_wins = (
-            tgt.join(F.broadcast(src_keys), on=key_cols, how="inner")
-            .where(F.col("_sseq") <= F.col(order))
-            .select(*key_cols)
-        )
-        applied = _align(
-            src.where(F.col(op_col) != "D").join(
-                F.broadcast(tgt_wins), on=key_cols, how="left_anti"
-            ),
-            cur_schema,
-        )
-        merged = (
-            kept.unionByName(applied)
-            .withColumn("_b", bucket_expr(n_buckets, key_cols))
-        )
+        merged = self._cow_plan(snap, src, op_col, affected, src_keys_broadcastable)
 
         data_dir = f"data/e{epoch:010d}"
         out_path = os.path.join(self.path, data_dir)
@@ -468,6 +440,66 @@ class HashMergeTable:
             "buckets_touched": len(affected),
             "secs": secs,
         }
+
+    def _cow_plan(
+        self,
+        snap: dict,
+        src: DataFrame,
+        op_col: str,
+        affected: list[int],
+        src_keys_broadcastable: bool = True,
+    ) -> DataFrame:
+        """Build the copy-on-write MERGE plan for one epoch slice (``src``
+        already carries ``_b``). Split out so plan tests can assert its
+        shape without committing anything.
+
+        MERGE arms, relationally and PER-KEY SEQ-AWARE (a source row wins
+        only if its order_col beats the target's current row — Iceberg's
+        "WHEN MATCHED AND s.seq > t.seq"):
+
+        * kept    = target rows whose key is absent from source OR whose
+          seq >= the source row's seq
+        * applied = source non-deletes minus keys the target won
+
+        Seq-awareness makes the MERGE idempotent at the ROW level: any
+        subset of the WAL replayed in any order converges (equal seq →
+        target wins → replay is a no-op), which is what lets the
+        streaming variant survive checkpoint loss (streaming/stream.py).
+
+        Probe strategy: the source (key, seq) set — one compacted epoch,
+        pruned columns — is broadcast when ``src_keys_broadcastable``, so
+        the target side streams through both probes without shuffling or
+        sorting; ``tgt_wins`` is ≤ |source keys| rows. Above the ingest
+        loop's ``compact_threshold`` (a 10^7-key epoch would be a multi-GB
+        driver build) the same joins run shuffled on the key columns —
+        one bounded exchange per side instead of an unbounded broadcast.
+        """
+        hint = F.broadcast if src_keys_broadcastable else (lambda df: df)
+        key_cols = snap["key_cols"]
+        cur_schema = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        order = snap.get("order_col", "seq")
+        src_keys = src.select(*key_cols, F.col(order).alias("_sseq"))
+        tgt = self.read(buckets=affected, at_snapshot=snap)
+        kept = (
+            tgt.join(hint(src_keys), on=key_cols, how="left")
+            .where(F.col("_sseq").isNull() | (F.col("_sseq") <= F.col(order)))
+            .drop("_sseq")
+        )
+        tgt_wins = (
+            tgt.join(hint(src_keys), on=key_cols, how="inner")
+            .where(F.col("_sseq") <= F.col(order))
+            .select(*key_cols)
+        )
+        applied = _align(
+            src.where(F.col(op_col) != "D").join(
+                hint(tgt_wins), on=key_cols, how="left_anti"
+            ),
+            cur_schema,
+        )
+        return (
+            kept.unionByName(applied)
+            .withColumn("_b", bucket_expr(snap["n_buckets"], key_cols))
+        )
 
     def _merge_mor(
         self, snap, source: DataFrame, epoch: int, lo, hi, t0,

@@ -346,6 +346,11 @@ def _run_epochs(
             # retries added) — let the MERGE count its written files
             src_rows=None if quarantine else cnt,
             lag_events=lag,
+            # same footer-derived gate as the compaction strategy: an epoch
+            # too large for the broadcast-semi compaction is also too large
+            # for the COW probe broadcast (the event count upper-bounds the
+            # key count) — the MERGE falls back to shuffled probe joins
+            src_keys_broadcastable=(cnt is None or cnt <= compact_threshold),
         )
         res["compact_strategy"] = strategy
         res["prebucketed"] = do_prebucket

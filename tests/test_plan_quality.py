@@ -164,6 +164,39 @@ def test_q17_has_no_forced_broadcast(spark, sf_dir):
     assert "BroadcastExchange" not in plan
 
 
+def test_cow_merge_probe_broadcast_is_size_gated(spark, tmp_path):
+    """Above compact_threshold the COW MERGE probe must not force a
+    broadcast of the epoch's (key, seq) set — the fallback is a shuffled
+    join; below it, the hinted broadcast stays (VERDICT r2 item 1)."""
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable, bucket_expr
+    from read_comp_data_pipeline_spark.sources.wal import (
+        generate_change_events,
+        read_epoch,
+        write_wal,
+    )
+    from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
+
+    p = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 400, n_keys=40, epoch_size=200), p)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, p, tbl, n_buckets=4, max_epoch=0, extract=False)
+    t = HashMergeTable(spark, tbl)
+    snap = t._snapshot()
+    src = read_epoch(spark, p, 1).withColumn("_b", bucket_expr(4))
+    affected = [r["_b"] for r in src.select("_b").distinct().collect()]
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = _plan_simple(t._cow_plan(snap, src, "op", affected, False))
+        hinted = _plan_simple(t._cow_plan(snap, src, "op", affected, True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in gated
+    assert "SortMergeJoin" in gated or "ShuffledHashJoin" in gated
+    assert "BroadcastExchange" in hinted
+
+
 def test_compaction_hash_semi_broadcasts_longs_only(spark, sf_dir):
     """MOR hot-path compaction: the broadcast side is one xxhash64 long per
     key (no key strings), the join is a broadcast LeftSemi, and the payload
