@@ -28,10 +28,12 @@ the exact statement the engine issues when one is present):
   bytes). Side files are anchored by the snapshot: readers filter to
   ``epoch <= snapshot.epoch``, so an orphan file from a crashed commit
   is invisible and gets atomically overwritten on the retried epoch.
-  :meth:`compact_sidecars` folds the per-epoch files into one
-  consolidated file per side-table — maintenance like vacuum, NOT on
-  the hot loop (each invocation rewrites the consolidated file, so a
-  per-N-epochs cadence would reintroduce the quadratic cost).
+  :meth:`compact_sidecars` folds per-epoch files into consolidated
+  segment files generationally (LSM-style: each invocation writes one
+  new segment; full merges only when ``max_segments`` is exceeded), so
+  the ingest loop can run it on a per-N-epoch cadence at amortized-
+  linear cost. Segment lists + watermarks commit atomically in the
+  snapshot, so no crash window duplicates a folded row.
 * **transactional schema evolution.** Add-column / type-widening is a
   metadata-only snapshot commit; old data files are read with the schema
   they were written with and aligned (cast + null-fill) at scan time.
@@ -774,20 +776,36 @@ class HashMergeTable:
         )
         self._append_side_rows("metrics", epoch, rows, schema)
 
+    def _side_segments(self, snap: dict, kind: str) -> list[str]:
+        """Names of the committed consolidated segment files for a side
+        table (legacy tables that predate segment naming fall back to the
+        old single ``all.parquet`` if it exists)."""
+        segs = snap.get(f"{kind}_segments")
+        if segs is not None:
+            return list(segs)
+        if os.path.exists(os.path.join(self.path, kind, "all.parquet")):
+            return ["all.parquet"]
+        return []
+
     def _read_side(self, kind: str, raw_schema: T.StructType) -> DataFrame | None:
-        """Side-table scan = consolidated file (if any) + per-epoch files
-        newer than the consolidation watermark. Stale per-epoch files left
-        behind by a crash mid-:meth:`compact_sidecars` are excluded by the
-        watermark, so no row ever appears twice."""
+        """Side-table scan = committed consolidated segments + per-epoch
+        files newer than the consolidation watermark. Only segment files
+        the SNAPSHOT references are read, so an orphan segment from a
+        crashed :meth:`compact_sidecars` is invisible; stale per-epoch
+        files below the watermark are excluded by the watermark. No crash
+        window can make a row appear twice."""
         snap = self._snapshot()
         d = os.path.join(self.path, kind)
         if not os.path.isdir(d):
             return None
         through = int(snap.get(f"{kind}_compacted_through", -1))
         parts = []
-        allf = os.path.join(d, "all.parquet")
-        if os.path.exists(allf):
-            parts.append(self.spark.read.schema(raw_schema).parquet(allf))
+        seg_paths = [
+            os.path.join(d, n) for n in self._side_segments(snap, kind)
+            if os.path.exists(os.path.join(d, n))
+        ]
+        if seg_paths:
+            parts.append(self.spark.read.schema(raw_schema).parquet(*seg_paths))
         epoch_files = [
             os.path.join(d, n)
             for n in os.listdir(d)
@@ -803,19 +821,54 @@ class HashMergeTable:
         # commit carry epoch > snapshot.epoch and are filtered out
         return df.where(F.col("epoch") <= F.lit(snap["epoch"]))
 
-    def compact_sidecars(self) -> dict[str, Any]:
-        """Maintenance: fold the per-epoch manifest/metrics files into one
-        consolidated ``all.parquet`` per side-table (the small-files
-        answer at 10^5 epochs — the analogue of Iceberg's manifest
-        rewrite). Crash-safe ordering: write the new consolidated file
-        (atomic replace) → commit the watermark in the snapshot → delete
-        the folded per-epoch files. A crash between any two steps leaves
-        stale per-epoch files that the watermark already excludes from
-        reads; the next compaction removes them."""
+    def _clean_side_orphans(self, snap: dict) -> int:
+        """Remove side files no committed snapshot state references: stale
+        per-epoch files at/below the watermark and consolidated segments
+        absent from the snapshot's segment list (either kind is left behind
+        only by a crash inside :meth:`compact_sidecars`, and is never read)."""
+        removed = 0
+        for kind in ("manifest", "metrics"):
+            d = os.path.join(self.path, kind)
+            if not os.path.isdir(d):
+                continue
+            through = int(snap.get(f"{kind}_compacted_through", -1))
+            referenced = set(self._side_segments(snap, kind))
+            for n in os.listdir(d):
+                if not n.endswith(".parquet"):
+                    continue
+                stale_epoch = n.startswith("e") and n[1:-8].isdigit() and int(n[1:-8]) <= through
+                orphan_seg = (n.startswith("seg-") or n == "all.parquet") and n not in referenced
+                if stale_epoch or orphan_seg:
+                    os.remove(os.path.join(d, n))
+                    removed += 1
+        return removed
+
+    def compact_sidecars(self, max_segments: int = 8) -> dict[str, Any]:
+        """Maintenance: fold per-epoch manifest/metrics files into
+        consolidated segment files (the small-files answer at 10^5 epochs —
+        the analogue of Iceberg's manifest rewrite), generationally so a
+        per-N-epoch cadence stays amortized-linear: each invocation folds
+        only the NEW per-epoch files into a NEW segment; when the segment
+        count would exceed ``max_segments``, all segments merge into one
+        (LSM-style — full rewrites happen every ``max_segments``
+        invocations, not every invocation).
+
+        Crash-safe ordering (single commit for all kinds): write every new
+        segment under a fresh unique name → commit the segment lists +
+        watermarks in ONE snapshot → delete folded per-epoch files and
+        superseded segments. A crash before the commit leaves orphan
+        segment files no snapshot references (never read, removed by the
+        next invocation's cleanup); a crash after it leaves stale
+        per-epoch/segment files the watermark and segment list already
+        exclude. Readers can never see a folded row twice."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         t0 = time.monotonic()
         snap = self._snapshot()
+        # cleanup from any previously crashed invocation, against the
+        # committed snapshot — safe because only unreferenced files go
+        self._clean_side_orphans(snap)
         folded: dict[str, int] = {}
         for kind in ("manifest", "metrics"):
             d = os.path.join(self.path, kind)
@@ -827,30 +880,28 @@ class HashMergeTable:
                 if n.startswith("e") and n.endswith(".parquet")
                 and through < int(n[1:-8]) <= snap["epoch"]
             )
+            segments = self._side_segments(snap, kind)
             if not epoch_files:
                 continue
-            import pyarrow as pa
-
-            tables = [pq.read_table(os.path.join(d, n)) for n in epoch_files]
-            allf = os.path.join(d, "all.parquet")
-            if os.path.exists(allf):
-                tables.insert(0, pq.read_table(allf))
-            merged = pa.concat_tables(tables)
-            tmp = os.path.join(d, f".all.{uuid.uuid4().hex}.tmp")
-            pq.write_table(merged, tmp)
-            os.replace(tmp, allf)
+            new_tables = [pq.read_table(os.path.join(d, n)) for n in epoch_files]
+            if len(segments) + 1 > max_segments:
+                # full merge: fold existing segments in as well
+                new_tables = [
+                    pq.read_table(os.path.join(d, n)) for n in segments
+                ] + new_tables
+                segments = []
+            seg_name = f"seg-{snap['version'] + 1:08d}-{uuid.uuid4().hex[:8]}.parquet"
+            tmp = os.path.join(d, f".{seg_name}.tmp")
+            pq.write_table(pa.concat_tables(new_tables), tmp)
+            os.replace(tmp, os.path.join(d, seg_name))
+            snap[f"{kind}_segments"] = segments + [seg_name]
             snap[f"{kind}_compacted_through"] = int(snap["epoch"])
             folded[kind] = len(epoch_files)
         if not folded:
             return {"skipped": True}
         snap["version"] += 1
         self._commit_snapshot(snap)
-        for kind in folded:
-            d = os.path.join(self.path, kind)
-            through = int(self._snapshot()[f"{kind}_compacted_through"])
-            for n in os.listdir(d):
-                if n.startswith("e") and n.endswith(".parquet") and int(n[1:-8]) <= through:
-                    os.remove(os.path.join(d, n))
+        self._clean_side_orphans(snap)
         return {"skipped": False, "folded": folded, "secs": time.monotonic() - t0}
 
     def manifest(self) -> DataFrame:

@@ -200,6 +200,8 @@ def run_ingest(
     max_attempts: int = 3,
     compact_threshold: int = 5_000_000,
     prebucket_min_events: int = 500_000,
+    maintain_every: int | None = 50,
+    keep_snapshots: int = 25,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
 
@@ -223,6 +225,16 @@ def run_ingest(
     broadcast-semi plan to the broadcast-free ``agg`` plan — a mis-sized
     epoch degrades to a heavier shuffle instead of OOMing the driver
     (operators/compact.py docstring; the count upper-bounds the key count).
+
+    ``maintain_every``/``keep_snapshots``: automatic table maintenance —
+    every ``maintain_every`` committed epochs the loop runs
+    ``vacuum(keep_snapshots)`` (expire old snapshots + unreferenced data
+    dirs) and ``compact_sidecars()`` (fold per-epoch manifest/metrics
+    files into consolidated segments). This bounds ``snapshots/`` and
+    side-table file counts at the 10^5-epoch target the way the
+    reference's hourly flush was automatic (search_scrape.py:316-321);
+    time travel stays available within the retention window. ``None``
+    disables (manual maintenance only).
     """
     if not HashMergeTable.exists(table_path):
         HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets, mode=mode)
@@ -246,6 +258,7 @@ def run_ingest(
             validator=validator, max_attempts=max_attempts,
             compact_threshold=compact_threshold,
             prebucket_min_events=prebucket_min_events,
+            maintain_every=maintain_every, keep_snapshots=keep_snapshots,
         )
     finally:
         if prev_mpb is not None:
@@ -258,7 +271,7 @@ def _run_epochs(
     spark, table, wal_path, table_path, hi_epoch, stats,
     *, extract, mode, compact_every, quarantine, fail_after_epoch,
     validator=None, max_attempts=3, compact_threshold=5_000_000,
-    prebucket_min_events=500_000,
+    prebucket_min_events=500_000, maintain_every=50, keep_snapshots=25,
 ) -> None:
     from read_comp_data_pipeline_spark.operators.merge import bucket_expr
 
@@ -362,6 +375,14 @@ def _run_epochs(
             stats.per_epoch.append(res)
             if mode == "mor" and compact_every and (epoch + 1) % compact_every == 0:
                 table.compact_table()
+            # automatic maintenance cadence: expire snapshots + fold
+            # side-table files so snapshots/ and manifest/metrics stay
+            # bounded over a 10^5-epoch run (off the per-epoch hot path;
+            # sidecar folding is generational so the cadence is
+            # amortized-linear — merge.compact_sidecars docstring)
+            if maintain_every and (epoch + 1) % maintain_every == 0:
+                table.vacuum(keep_snapshots=keep_snapshots)
+                table.compact_sidecars()
         if fail_after_epoch is not None and epoch >= fail_after_epoch:
             raise RuntimeError(f"injected failure after epoch {epoch}")
 

@@ -261,7 +261,8 @@ def test_snapshot_size_constant_wrt_epochs(spark, tmp_path):
     wal = str(tmp_path / "wal")
     write_wal(generate_change_events(spark, 3000, n_keys=300, epoch_size=60), wal)
     tbl = str(tmp_path / "t")
-    run_ingest(spark, wal, tbl, n_buckets=4)  # 50 epochs
+    # maintenance off: this test asserts the full 50-snapshot history
+    run_ingest(spark, wal, tbl, n_buckets=4, maintain_every=None)  # 50 epochs
     t = HashMergeTable(spark, tbl)
     sdir = os.path.join(tbl, "snapshots")
     sizes = {
@@ -352,20 +353,27 @@ def test_merge_is_seq_aware_under_out_of_order_replay(spark, tmp_path):
 
 
 def test_sidecar_compaction_preserves_history_and_is_crash_safe(spark, tmp_path):
-    """compact_sidecars folds per-epoch manifest/metrics files into one
-    consolidated file without changing their contents; stale per-epoch
-    files left by a crash mid-compaction are excluded by the watermark."""
+    """compact_sidecars folds per-epoch manifest/metrics files into
+    snapshot-referenced segment files without changing their contents.
+    Every crash window is simulated: an orphan segment (crash before the
+    snapshot commit) is never read and gets cleaned; stale per-epoch files
+    (crash after the commit, before cleanup) are excluded by the watermark
+    and re-folding them is impossible — the ADVICE r2 duplicate-rows
+    scenario."""
     import os
     import shutil
 
     wal = str(tmp_path / "wal")
     write_wal(generate_change_events(spark, 2000, n_keys=200, epoch_size=100), wal)
     tbl = str(tmp_path / "t")
-    run_ingest(spark, wal, tbl, n_buckets=4)  # 20 epochs
+    run_ingest(spark, wal, tbl, n_buckets=4, maintain_every=None)  # 20 epochs
     t = HashMergeTable(spark, tbl)
 
     def digest(df):
         return sorted(tuple(r) for r in df.collect())
+
+    def seg_files(d):
+        return sorted(n for n in os.listdir(d) if n.startswith("seg-"))
 
     m_before = digest(t.manifest())
     k_before = digest(t.metrics().select("epoch", "partition", "events"))
@@ -374,26 +382,90 @@ def test_sidecar_compaction_preserves_history_and_is_crash_safe(spark, tmp_path)
 
     mdir = os.path.join(tbl, "manifest")
     files = [n for n in os.listdir(mdir) if n.endswith(".parquet")]
-    assert files == ["all.parquet"]
+    assert len(files) == 1 and files[0].startswith("seg-")
     assert digest(t.manifest()) == m_before
     assert digest(t.metrics().select("epoch", "partition", "events")) == k_before
 
-    # crash simulation: a stale per-epoch file (epoch <= watermark)
-    # reappears — the watermark keeps it invisible, no duplicate rows
-    stale = os.path.join(mdir, "e0000000003.parquet")
-    shutil.copyfile(os.path.join(mdir, "all.parquet"), stale)
-    # (file content irrelevant; its epoch-index name is below the watermark)
+    # crash window A (ADVICE r2): segment written but snapshot NOT
+    # committed — the orphan is unreferenced, so reads ignore it and the
+    # next compaction's cleanup removes it instead of re-folding
+    orphan = os.path.join(mdir, "seg-99999999-deadbeef.parquet")
+    shutil.copyfile(os.path.join(mdir, files[0]), orphan)
     assert digest(t.manifest()) == m_before
-    os.remove(stale)
+
+    # crash window B: commit done but folded per-epoch file not deleted —
+    # the watermark keeps it invisible, no duplicate rows
+    stale = os.path.join(mdir, "e0000000003.parquet")
+    shutil.copyfile(os.path.join(mdir, files[0]), stale)
+    assert digest(t.manifest()) == m_before
 
     # later epochs append fresh per-epoch files that reads pick up
     write_wal(generate_change_events(spark, 2100, n_keys=200, epoch_size=100), wal)
-    run_ingest(spark, wal, tbl, n_buckets=4)
+    run_ingest(spark, wal, tbl, n_buckets=4, maintain_every=None)
     assert t.manifest().select("epoch").distinct().count() == 21
-    # idempotent second compaction folds only the new file
+    # second compaction folds only the new file into a SECOND segment
+    # (generational — no rewrite of the first) and cleans both crash relics
     res2 = t.compact_sidecars()
     assert res2["folded"]["manifest"] == 1
     assert t.manifest().select("epoch").distinct().count() == 21
+    assert len(seg_files(mdir)) == 2
+    assert not os.path.exists(orphan) and not os.path.exists(stale)
+
+
+def test_sidecar_segments_merge_lsm_style(spark, tmp_path):
+    """Repeated compactions keep the segment count bounded by
+    max_segments via full merges, with history preserved throughout."""
+    import os
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 1200, n_keys=100, epoch_size=100), wal)
+    tbl = str(tmp_path / "t")
+    t = None
+    for upto in range(0, 12, 2):
+        run_ingest(spark, wal, tbl, n_buckets=4, max_epoch=upto + 1,
+                   extract=False, maintain_every=None)
+        t = HashMergeTable(spark, tbl)
+        t.compact_sidecars(max_segments=2)
+    mdir = os.path.join(tbl, "manifest")
+    segs = [n for n in os.listdir(mdir) if n.startswith("seg-")]
+    assert len(segs) <= 2
+    assert t.manifest().select("epoch").distinct().count() == 12
+    dup = (
+        t.manifest().groupBy("partition", "epoch").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_auto_maintenance_bounds_files_and_keeps_time_travel(spark, tmp_path):
+    """run_ingest's maintain_every cadence keeps snapshots/ and side-table
+    file counts bounded over a long run, while reads at retained snapshots
+    (time travel inside the retention window) still work."""
+    import os
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 3000, n_keys=150, epoch_size=50), wal)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal, tbl, n_buckets=4, extract=False,
+               maintain_every=10, keep_snapshots=5)  # 60 epochs
+    t = HashMergeTable(spark, tbl)
+
+    snaps = [n for n in os.listdir(os.path.join(tbl, "snapshots")) if n.endswith(".json")]
+    # ≤ keep_snapshots survivors at the last vacuum + ≤ maintain_every
+    # commits since (plus the sidecar-compaction commit)
+    assert len(snaps) <= 5 + 10 + 1
+    mdir = os.path.join(tbl, "manifest")
+    per_epoch = [n for n in os.listdir(mdir) if n.startswith("e")]
+    assert len(per_epoch) <= 10
+    assert len([n for n in os.listdir(mdir) if n.startswith("seg-")]) <= 8
+
+    # full manifest history survives folding
+    assert t.manifest().select("epoch").distinct().count() == 60
+    # time travel within the retention window
+    old = t.snapshots()[0]
+    assert t.read(at_snapshot=old).count() > 0
+    # final state still correct
+    assert _state_digest(t.read()) == _state_digest(_final_expected(spark, wal))
 
 
 def test_prebucketed_ingest_converges_and_bounds_files(spark, wal_path, tmp_path):
