@@ -215,10 +215,11 @@ def run_ingest(
     ``quarantine=True`` validates each slice (``validator``, default
     structural checks) and escalates failures the way the reference's
     retry machine did (3 attempts then give up,
-    ``search_scrape.py:241-306``): bad rows land in
-    ``quarantine/pending`` with an attempts counter, are re-driven on
-    each subsequent epoch, and move permanently to ``quarantine/dead``
-    once ``attempts`` reaches ``max_attempts``.
+    ``search_scrape.py:241-306``): bad rows land in the epoch's single
+    status-partitioned quarantine write (``quarantine/e*/status=pending``)
+    with an attempts counter, are re-driven on each subsequent epoch, and
+    move permanently to the ``status=dead`` partition once ``attempts``
+    reaches ``max_attempts``.
 
     ``compact_threshold``: epochs whose event count (free, from parquet
     footers) exceeds this switch per-key compaction from the
@@ -317,13 +318,19 @@ def _run_epochs(
                     retry_src, allowMissingColumns=True
                 )
             slice_df, bad = validate_slice(slice_df, validator)
-            still = bad.where(F.col("attempts") < max_attempts)
-            dead = bad.where(F.col("attempts") >= max_attempts)
-            still.write.mode("overwrite").parquet(
-                f"{table_path}/quarantine/pending/e{epoch:010d}"
-            )
-            dead.write.mode("overwrite").parquet(
-                f"{table_path}/quarantine/dead/e{epoch:010d}"
+            # ONE status-partitioned write per epoch (pending | dead) — the
+            # previous separate pending/dead writes ran the validation
+            # lineage as two Spark jobs per epoch even when the slice was
+            # clean (VERDICT r2). A row goes dead in exactly one epoch
+            # (only attempts < max_attempts rows are re-driven), so the
+            # per-epoch status=dead partitions are disjoint.
+            bad.withColumn(
+                "status",
+                F.when(F.col("attempts") < max_attempts, F.lit("pending")).otherwise(
+                    F.lit("dead")
+                ),
+            ).write.mode("overwrite").partitionBy("status").parquet(
+                f"{table_path}/quarantine/e{epoch:010d}"
             )
 
         # transactional schema evolution BEFORE the wave that needs it
@@ -388,38 +395,45 @@ def _run_epochs(
 
 
 def _read_pending(spark: SparkSession, table_path: str, before_epoch: int) -> DataFrame | None:
-    """Latest pending-quarantine state produced by an epoch < before_epoch.
-    Orphans from a crashed epoch carry an index >= before_epoch (the crash
-    means that epoch never committed, so the loop re-runs and overwrites
-    them) and are ignored here."""
+    """Latest pending-quarantine state produced by an epoch < before_epoch
+    (the ``status=pending`` partition of that epoch's single quarantine
+    write; absent partition = nothing pending). Orphans from a crashed
+    epoch carry an index >= before_epoch (the crash means that epoch never
+    committed, so the loop re-runs and overwrites them) and are ignored."""
     import os
 
-    pdir = os.path.join(table_path, "quarantine", "pending")
-    if not os.path.isdir(pdir):
+    qdir = os.path.join(table_path, "quarantine")
+    if not os.path.isdir(qdir):
         return None
     idxs = [
-        int(n[1:]) for n in os.listdir(pdir)
+        int(n[1:]) for n in os.listdir(qdir)
         if n.startswith("e") and n[1:].isdigit() and int(n[1:]) < before_epoch
     ]
     if not idxs:
         return None
-    return spark.read.parquet(os.path.join(pdir, f"e{max(idxs):010d}"))
+    pdir = os.path.join(qdir, f"e{max(idxs):010d}", "status=pending")
+    if not os.path.isdir(pdir):
+        return None
+    return spark.read.parquet(pdir)
 
 
 def read_quarantine(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """All currently-quarantined rows: permanent dead letters plus the
-    latest pending (still-retryable) state. None if quarantine never ran."""
+    """All currently-quarantined rows: permanent dead letters (disjoint
+    ``status=dead`` partitions across epochs) plus the latest pending
+    (still-retryable) state. None if quarantine never ran."""
     import os
 
     qdir = os.path.join(table_path, "quarantine")
     if not os.path.isdir(qdir):
         return None
     parts = []
-    ddir = os.path.join(qdir, "dead")
-    if os.path.isdir(ddir):
-        dirs = [os.path.join(ddir, d, "*.parquet") for d in sorted(os.listdir(ddir))]
-        if dirs:
-            parts.append(spark.read.parquet(*dirs))
+    dead_dirs = sorted(
+        os.path.join(qdir, n, "status=dead")
+        for n in os.listdir(qdir)
+        if n.startswith("e") and os.path.isdir(os.path.join(qdir, n, "status=dead"))
+    )
+    if dead_dirs:
+        parts.append(spark.read.parquet(*dead_dirs))
     pending = _read_pending(spark, table_path, before_epoch=1 << 62)
     if pending is not None:
         parts.append(pending)

@@ -60,6 +60,19 @@ def test_quarantine_bad_rows(spark, tmp_path):
         (5, "null key"),
     }
 
+    # ONE status-partitioned write per epoch — no separate pending/dead
+    # sink dirs (two extra Spark jobs per epoch on the hot loop)
+    import os
+
+    qdirs = sorted(os.listdir(os.path.join(tbl_path, "quarantine")))
+    assert qdirs and all(n.startswith("e") for n in qdirs)
+    subdirs = {
+        s for n in qdirs
+        for s in os.listdir(os.path.join(tbl_path, "quarantine", n))
+        if os.path.isdir(os.path.join(tbl_path, "quarantine", n, s))
+    }
+    assert subdirs <= {"status=pending", "status=dead"}
+
 
 def test_stream_ingest_matches_batch(spark, tmp_path):
     wal_path = str(tmp_path / "wal")
