@@ -8,7 +8,8 @@ content-level dedup families, each shuffle-conscious:
 * minhash + LSH  — shingle → k minhashes → banded signatures → bucket join;
                    candidate verification by exact Jaccard. Pair generation
                    is bounded per bucket (no all-pairs blowup).
-* simhash        — 16-bit sign-sum fingerprint; near-dups share a bucket.
+* simhash        — 64-bit sign-sum fingerprint; near-dups share a bucket
+                   (hamming-k search via bit-block banding).
 * n-gram Jaccard — exact verification used on LSH candidates.
 * embedding cosine — see operators/similarity.py.
 
@@ -187,29 +188,83 @@ def minhash_near_dups(
     return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+def _bit_weight(b: int) -> int:
+    """2^b as a signed-64 term: bit 63 is the sign bit, so its weight is
+    -2^63 (two's complement) — keeps the fingerprint inside BIGINT range
+    in both Spark's ANSI mode and DuckDB."""
+    return -(2 ** 63) if b == 63 else 2 ** b
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(id, simhash) — sign-sum fingerprint over token hashes.
 
     bit_b(doc) = 1 iff sum over tokens of (2*bit_b(hash(token)) - 1) > 0.
     Pure Column expressions; one explode + one aggregate.
+
+    Default 64 bits: a 16-bit fingerprint space (65,536 values) saturates
+    at corpus scale — hamming-banding buckets degenerate toward all-pairs
+    once the corpus dwarfs the value space (VERDICT r2). The portable base
+    hash carries 60 bits (15 md5 nibbles), so bits 60-63 come from a
+    seeded second hash; bit 63 lands on the BIGINT sign bit via its two's
+    complement weight. Width is parameterized; 16 stays tested as the
+    regression width.
     """
+    assert 1 <= bits <= 64
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("tok"))
         .where(F.col("tok") != "")
     )
     h = phash(F.col("tok"))
+    h_ext = phash(F.col("tok"), seed=1) if bits > 60 else None
+
+    def bit(b):
+        src, off = (h, b) if b < 60 else (h_ext, b - 60)
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}") for b in range(bits)
     ]
     per_doc = toks.groupBy("id").agg(*bit_sums)
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        term = F.when(F.col(f"s{b}") > 0, F.lit(_bit_weight(b))).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return per_doc.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(
+    bits: int = 64,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB rendering of :func:`simhash` — a SELECT yielding
+    (id, simhash), bit-exact at any width ≤ 64 (same portable hashes,
+    same two's-complement weight for bit 63)."""
+    assert 1 <= bits <= 64
+    h2 = f", {phash_sql('tok', seed=1)} AS h2" if bits > 60 else ""
+
+    def bit(b):
+        return f"((h >> {b}) & 1)" if b < 60 else f"((h2 >> {b - 60}) & 1)"
+
+    bitsum = ", ".join(
+        f"sum(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {'(-9223372036854775807 - 1)' if b == 63 else 2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+    SELECT id, CAST({val} AS BIGINT) AS simhash FROM (
+      SELECT id, {bitsum} FROM (
+        SELECT id, {phash_sql('tok')} AS h{h2} FROM (
+          SELECT {id_col} AS id,
+                 unnest(regexp_split_to_array(lower(trim({text_col})), '\s+')) AS tok
+          FROM {table}
+        ) WHERE tok <> ''
+      ) GROUP BY id
+    )
+    """
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -241,7 +296,7 @@ def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 64,
     max_hamming: int = 2,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via bit-block banding —
@@ -287,7 +342,7 @@ def simhash_hamming_pairs(
 
 
 def simhash_hamming_sql(
-    simhash_cte: str, bits: int = 16, max_hamming: int = 2
+    simhash_cte: str, bits: int = 64, max_hamming: int = 2
 ) -> str:
     """DuckDB rendering of :func:`simhash_hamming_pairs` given a CTE body
     ``simhash_cte`` that yields (id, simhash)."""

@@ -188,7 +188,10 @@ def test_winnowing_robust_to_local_edits(spark):
 
 def test_simhash_hamming_pairs_find_planted_bit_flips(spark):
     """Documents edited just enough to flip 1-2 simhash bits must surface
-    as hamming<=2 pairs; unrelated documents must not."""
+    as hamming<=2 pairs; unrelated documents must not. Pinned to the
+    16-bit regression width (the edits were calibrated to flip ≤2 of 16
+    bits; at 64 bits the same edits flip more — covered by the 64-bit
+    tests below)."""
     from read_comp_data_pipeline_spark.operators.dedup import (
         simhash,
         simhash_hamming_pairs,
@@ -202,11 +205,11 @@ def test_simhash_hamming_pairs_find_planted_bit_flips(spark):
         (3, "totally different vocabulary with nothing shared at all " * 8),
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    sh = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    sh = {r["id"]: r["simhash"] for r in simhash(df, bits=16).collect()}
     ham = lambda a, b: bin(sh[a] ^ sh[b]).count("1")  # noqa: E731
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_hamming_pairs(df, max_hamming=2).collect()
+        for r in simhash_hamming_pairs(df, bits=16, max_hamming=2).collect()
     }
     # every true hamming<=2 pair is found with the exact distance, none missed
     for a in range(4):
@@ -218,3 +221,50 @@ def test_simhash_hamming_pairs_find_planted_bit_flips(spark):
     # the planted near-dups really are near (and the outlier is not)
     assert ham(0, 1) <= 2 and ham(0, 2) <= 2
     assert ham(0, 3) > 2
+
+
+def test_simhash64_banding_is_exact_for_hamming_k(spark):
+    """At the 64-bit engine default, the bit-block banding must find
+    exactly the true hamming<=2 pairs (pigeonhole completeness + popcount
+    verification), including hamming-0 exact duplicates, and nothing else."""
+    from read_comp_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    docs = [
+        (0, base),
+        (1, base),  # exact duplicate → hamming 0
+        (2, base + " lambda mu"),
+        (3, "totally different vocabulary with nothing shared at all " * 8),
+        (4, "yet another unrelated block of words entirely disjoint too " * 8),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = {r["id"]: r["simhash"] for r in simhash(df, bits=64).collect()}
+    ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")  # noqa: E731
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df, bits=64, max_hamming=2).collect()
+    }
+    for a in range(5):
+        for b in range(a + 1, 5):
+            if ham(a, b) <= 2:
+                assert pairs.get((a, b)) == ham(a, b), (a, b, ham(a, b), pairs)
+            else:
+                assert (a, b) not in pairs
+    assert pairs[(0, 1)] == 0  # the exact dup is guaranteed found
+
+
+def test_simhash64_desaturates_candidate_set(spark, sf_dir):
+    """The reason 64-bit is the default (VERDICT r2): on the same corpus
+    the 16-bit width's hamming<=2 'near-dup' set is dominated by value-
+    space collisions; 64 bits shrinks it by orders of magnitude while
+    keeping the genuinely identical/near-identical documents."""
+    from read_comp_data_pipeline_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n16 = simhash_hamming_pairs(docs, bits=16, max_hamming=2).count()
+    n64 = simhash_hamming_pairs(docs, bits=64, max_hamming=2).count()
+    assert n64 * 50 <= n16, (n16, n64)  # ≥ 50× drop on the same corpus
+    assert n64 >= 0  # sanity; exactness is covered by the oracle entry
