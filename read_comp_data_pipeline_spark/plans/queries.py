@@ -1021,7 +1021,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8) * 5 AS BIGINT)
              AS n_exact,
-           CAST(0.4 AS DOUBLE) AS recall_floor,
+           CAST(0.8 AS DOUBLE) AS recall_floor,
            true AS floor_met
     """,
 )
@@ -1030,13 +1030,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KMeans centroids are training outputs DuckDB cannot replay, so the
     oracle checks the deterministic claim instead — overall recall@5 of
     the IVF result vs the in-Spark exact brute force meets the documented
-    floor (both sides deterministic: seeded KMeans, tie-broken ranks)."""
+    floor (both sides deterministic: seeded KMeans, tie-broken ranks).
+    Floor 0.8 (was 0.4 — too weak to catch a regression to near-random
+    cell assignment): measured 0.90 at sf0.01 and 0.925 at sf0.1 with the
+    metric-matched L2 probe ranking at n_probe=8."""
     from read_comp_data_pipeline_spark.operators.similarity import ivf_ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
     exact = brute_force_topk(emb, q, k=5).select("query_id", "cand_id")
-    approx = ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=6).select(
+    approx = ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=8).select(
         "query_id", "cand_id"
     )
     hits = approx.join(exact, on=["query_id", "cand_id"], how="inner")
@@ -1045,8 +1048,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(exact.agg(F.count("*").alias("n_exact")))
         .select(
             F.col("n_exact"),
-            F.lit(0.4).alias("recall_floor"),
-            ((F.col("n_hits") / F.col("n_exact")) >= 0.4).alias("floor_met"),
+            F.lit(0.8).alias("recall_floor"),
+            ((F.col("n_hits") / F.col("n_exact")) >= 0.8).alias("floor_met"),
         )
     )
 

@@ -161,13 +161,14 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 16)
     exact = brute_force_topk(emb, q, k=5)
-    approx = ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    approx = ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=8)
     e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    # 4 of 16 cells probed → 25% of corpus scanned; IVF recall on clustered
-    # data should beat random sampling comfortably
-    assert recall >= 0.4, f"recall@5 {recall}"
+    # metric-matched probe ranking (squared L2, same as the KMeans
+    # assignment) at n_probe=8: floor 0.8 — a regression toward random
+    # cell assignment or mismatched probe ranking trips this
+    assert recall >= 0.8, f"recall@5 {recall}"
 
 
 def test_winnowing_robust_to_local_edits(spark):
