@@ -50,8 +50,100 @@ def test_featurize_deterministic_and_shaped(assets):
 
 
 def test_decode_without_codec_raises(assets):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    """synth_assets payloads are raw text bytes (no BMP/WAV magic) — the
+    real-decode path must refuse them honestly rather than guess."""
+    with pytest.raises(Exception, match="NotImplementedError|codec|BMP"):
         decode_and_featurize(assets, fake=False).collect()
+
+
+def test_bmp_wav_roundtrip_exact():
+    """The numpy-only codecs are real: encode→decode is the identity for
+    24-bit BMP pixel arrays and 16-bit PCM WAV sample arrays."""
+    import numpy as np
+
+    from read_comp_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rgb = (np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3) * 3) % 256
+    assert (decode_bmp(encode_bmp(rgb)) == rgb).all()
+    # non-multiple-of-4 row width exercises the padding arithmetic
+    rgb2 = np.zeros((2, 3, 3), dtype=np.uint8)
+    rgb2[0, 0] = [255, 0, 10]
+    assert (decode_bmp(encode_bmp(rgb2)) == rgb2).all()
+
+    samples = (np.sin(np.arange(1000) / 7.0) * 20000).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(samples, 22050))
+    assert rate == 22050 and (dec[:, 0] == samples).all()
+    stereo = np.stack([samples, -samples], axis=1)
+    dec2, _ = decode_wav(encode_wav(stereo, 16000))
+    assert (dec2 == stereo).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"\xff\xd8\xff\xe0 not a bmp" * 10)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03 not a wav" * 10)
+
+
+def test_real_decode_through_spark_matches_driver_side(spark, sf_dir):
+    """End-to-end real decode: genuine BMP/WAV payloads synthesized
+    distributed, featurized via mapInPandas with fake=False, and compared
+    value-for-value against driver-side decode of the same payloads."""
+    import numpy as np
+
+    from read_comp_data_pipeline_spark.operators.multimodal import (
+        real_feature,
+        synth_real_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(40)
+    assets = synth_real_assets(docs)
+    out = {r["asset_id"]: r for r in decode_and_featurize(assets, fake=False, dim=8).collect()}
+    payloads = {r["asset_id"]: (r["kind"], bytes(r["data"])) for r in assets.collect()}
+    assert out.keys() == payloads.keys() and len(out) == 40
+    for aid, (kind, data) in payloads.items():
+        expected = np.asarray(real_feature(data, 8), dtype=np.float32)
+        got = np.asarray(out[aid]["feature"], dtype=np.float32)
+        assert np.array_equal(got, expected), aid
+        assert out[aid]["n_bytes"] == len(data)
+        assert out[aid]["kind"] == kind
+    # images and audio both present, and features are non-trivial
+    kinds = {v[0] for v in payloads.values()}
+    assert kinds == {"image", "audio"}
+    assert any(np.asarray(r["feature"]).std() > 0 for r in out.values())
+
+
+def test_real_resize_is_exact_nearest_neighbor(spark):
+    """fake=False resize decodes the actual BMP, index-selects, re-encodes
+    and shas the real bytes — verified against the same ops driver-side."""
+    import hashlib
+
+    import numpy as np
+
+    from read_comp_data_pipeline_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        nn_resize,
+        resize_images,
+    )
+
+    rgb = (np.arange(12 * 8 * 3, dtype=np.uint8).reshape(12, 8, 3) * 5) % 256
+    data = encode_bmp(rgb)
+    rows = [
+        (1, "image", bytearray(data), (8, 12, None, None)),
+        (2, "audio", bytearray(b"RIFFxxxxWAVE"), (None, None, 16000, 100)),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in resize_images(df, max_side=6, fake=False).collect()}
+    assert set(out) == {1}  # non-images skipped
+    resized = nn_resize(decode_bmp(data), 6)
+    assert (out[1]["width"], out[1]["height"]) == (resized.shape[1], resized.shape[0])
+    assert resized.shape == (6, 4, 3)  # 12x8 → 6x4 (aspect preserved)
+    assert out[1]["data_sha"] == hashlib.sha256(encode_bmp(resized)).hexdigest()
 
 
 def test_frame_sample_counts(assets):
@@ -117,14 +209,16 @@ def test_resize_skips_zero_dimension_assets(spark):
 
 
 def test_decode_stub_is_honest_about_codec_absence():
-    """The decode stub is justified ONLY while the codec libraries are
-    actually absent from the environment. If PIL ever appears here, this
-    test fails on purpose: replace the stub with a real decode path."""
+    """Uncompressed formats (BMP/WAV) decode for real with numpy alone;
+    the remaining NotImplementedError stub covers only COMPRESSED formats
+    and is justified ONLY while the codec libraries are actually absent.
+    If PIL ever appears here, this test fails on purpose: extend the real
+    decode dispatch to compressed formats too."""
     import importlib.util
 
     assert importlib.util.find_spec("PIL") is None, (
-        "PIL is importable — the multimodal decode stub is no longer "
-        "justified; implement the real decode path"
+        "PIL is importable — the compressed-format decode stub is no "
+        "longer justified; extend real_feature to compressed codecs"
     )
 
 
