@@ -468,6 +468,25 @@ def test_auto_maintenance_bounds_files_and_keeps_time_travel(spark, tmp_path):
     assert _state_digest(t.read()) == _state_digest(_final_expected(spark, wal))
 
 
+def test_iceberg_merge_statement_parses_with_all_arms(spark):
+    """The deployment arm: merge_sql_for_iceberg keeps the cluster MERGE
+    statement in sync with the sandbox implementation by construction —
+    this parse-smoke (Spark's own SQL parser; no Iceberg jar needed) stops
+    it drifting into syntax no engine would accept, and pins all three
+    seq-guarded arms."""
+    from read_comp_data_pipeline_spark.operators.merge import merge_sql_for_iceberg
+
+    sql = merge_sql_for_iceberg("cat.db.target", "src_view")
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    s = plan.toString().lower()
+    assert "deleteaction" in s          # WHEN MATCHED ... op = 'D' THEN DELETE
+    assert "updatestaraction" in s      # WHEN MATCHED ... THEN UPDATE SET *
+    assert "insertstaraction" in s      # WHEN NOT MATCHED ... THEN INSERT *
+    # both matched arms carry the seq guard (row-level idempotency)
+    assert s.count("'s.seq > 't.seq") == 2
+
+
 def test_prebucketed_ingest_converges_and_bounds_files(spark, wal_path, tmp_path):
     """The pre-UDF bucket+salt shuffle (extraction-parallelism guard) must
     produce the identical final state, and MOR delta dirs must hold a
