@@ -143,6 +143,12 @@ def main() -> None:
     ap.add_argument("--mode", default="mor")
     ap.add_argument("--runs", type=int, default=2, help="best-of-N per level (host noise)")
     ap.add_argument("--skip-kernel", action="store_true")
+    ap.add_argument(
+        "--write-md", action="store_true",
+        help="regenerate BENCH/BASELINE.md from this single run (default: "
+        "only append the raw record to BENCH/scaling_runs.jsonl — "
+        "BASELINE.md carries the hand-curated multi-point trend)",
+    )
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--kernel", action="store_true")
     ap.add_argument("--string-kernel", action="store_true")
@@ -214,8 +220,13 @@ def main() -> None:
         summary["string_kernel_efficiency"] = round(s_speed / 4, 3)
         summary["efficiency_vs_string_ceiling"] = round(eff / (s_speed / 4), 3)
     print(json.dumps(summary))
-    write_baseline_md(summary, results)
-    print("wrote BENCH/BASELINE.md")
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_runs.jsonl", "a") as f:
+        f.write(json.dumps({"summary": summary, "levels": results}) + "\n")
+    print("appended BENCH/scaling_runs.jsonl")
+    if args.write_md:
+        write_baseline_md(summary, results)
+        print("wrote BENCH/BASELINE.md")
 
 
 def write_baseline_md(summary: dict, results: dict) -> None:

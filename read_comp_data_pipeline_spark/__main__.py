@@ -16,7 +16,8 @@ Commands:
   ingest    — replay the WAL into the MERGE table (resumable)
   stream    — same via Structured Streaming (AvailableNow)
   compact   — fold MOR deltas into the base
-  compact-sidecars — fold per-epoch manifest/metrics files into one
+  compact-sidecars — fold per-epoch manifest/metrics files into
+                     consolidated segments (generational, crash-safe)
   vacuum    — expire old snapshots + unreferenced files
   show      — table summary (row count, last epoch, manifest tail)
 """
@@ -49,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--max-epoch", type=int, default=None)
         p.add_argument("--compact-every", type=int, default=10)
         p.add_argument("--quarantine", action="store_true")
+        if name == "ingest":
+            p.add_argument(
+                "--maintain-every", type=int, default=50,
+                help="run vacuum + sidecar folding every N epochs (0 = off)",
+            )
+            p.add_argument("--keep-snapshots", type=int, default=25)
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
 
@@ -85,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.wal, args.table, n_buckets=args.buckets,
             max_epoch=args.max_epoch, mode=args.mode,
             compact_every=args.compact_every, quarantine=args.quarantine,
+            maintain_every=args.maintain_every or None,
+            keep_snapshots=args.keep_snapshots,
         )
         print(json.dumps({
             "epochs_applied": st.epochs_applied,
