@@ -39,9 +39,10 @@ def _fast_tmp(prefix: str) -> str:
 def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000_000) -> None:
     """``compact_threshold`` is raised well above the per-epoch event count
     here: the guard exists to keep the broadcast-semi key set inside driver
-    memory, and this bench's 48g driver comfortably holds the ~5M-key
-    broadcasts of 20M-event epochs (a production submit sizes the threshold
-    to its own driver the same way)."""
+    memory, and the bench driver (16g default; raise via
+    SPARK_GRAFT_DRIVER_MEM for ≥50M-event epochs) comfortably holds the
+    hash-only broadcasts of multi-M-key epochs (a production submit sizes
+    the threshold to its own driver the same way)."""
     from read_comp_data_pipeline_spark.session import get_spark
     from read_comp_data_pipeline_spark.streaming.ingest import run_ingest
 
@@ -75,6 +76,12 @@ def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000
         "events_per_sec": round(stats.events_applied / secs, 1),
         "per_epoch_secs": [round(e["secs"], 1) for e in stats.per_epoch],
     }))
+    # tmpfs hygiene: at 50M-event epochs each worker's warmup+target tables
+    # are multi-GB of RAM-backed storage — reclaim before the next level
+    import shutil
+
+    shutil.rmtree(warm, ignore_errors=True)
+    shutil.rmtree(tbl, ignore_errors=True)
 
 
 def cpu_kernel(cpus: int) -> None:
