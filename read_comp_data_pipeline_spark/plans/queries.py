@@ -1404,6 +1404,78 @@ def approx_key_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "asof_join_prev_purchase",
+    """
+    WITH refs AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           r.value AS value_asof,
+           CAST(epoch_us(r.ts) AS BIGINT) AS ts_asof_us
+    FROM events e ASOF LEFT JOIN refs r
+      ON e.user_id = r.user_id AND e.ts > r.ts
+    """,
+)
+def asof_join_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every event annotated with the same user's most recent
+    STRICTLY-prior purchase (value + time), NULL if none. Spark lacks a
+    native as-of join and the naive inequality formulation is a nested-
+    loop cross product; operators/temporal.asof_join re-expresses it as
+    union → ONE shuffle on the key → one window pass (the kdb/DuckDB
+    ASOF execution shape). Oracle: DuckDB's native ASOF LEFT JOIN, exact.
+    Reference ties at equal (user, ts) are max_by-deduped on both sides —
+    the determinism ASOF semantics require."""
+    from read_comp_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    refs = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    probe = ev.select("event_id", "user_id", "event_type", "ts")
+    out = asof_join(probe, refs, key_col="user_id", time_col="ts",
+                    payload_cols=["value"], strict=True)
+    # the attached time goes out as epoch-micros BIGINT: a nullable
+    # timestamp column round-trips with engine-dependent datetime units
+    # (ns vs us) that NaT-containing comparisons trip over
+    return out.select(
+        "event_id", "user_id", "event_type", "value_asof",
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("ts_asof_us"),
+    )
+
+
+@_q(
+    "range_join_error_burst",
+    """
+    SELECT e.event_id, e.user_id,
+           CAST(count(x.event_id) AS BIGINT) AS n_prior_5min
+    FROM events e LEFT JOIN events x
+      ON e.user_id = x.user_id
+     AND x.ts >= e.ts - INTERVAL 5 MINUTE AND x.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: for each error event, how many same-user events
+    landed in the trailing 5 minutes. The oracle is a plain inequality
+    join (fine at oracle scale, quadratic at engine scale); the engine
+    quantizes time into width-sized buckets and equi-joins on
+    (user, bucket ∪ bucket-1) with the exact band filtered after —
+    candidate volume bounded by bucket population, no theta join in the
+    plan (operators/temporal.range_count_join)."""
+    from read_comp_data_pipeline_spark.operators.temporal import range_count_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = range_count_join(errors, ev, key_col="user_id", time_col="ts",
+                           width_secs=300, count_alias="n_prior_5min")
+    return out.select("event_id", "user_id", "n_prior_5min")
+
+
 # ═══════════════════════════════════════════════════════════════════════════
 # registry accessors (driver contract)
 # ═══════════════════════════════════════════════════════════════════════════
