@@ -40,6 +40,78 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def collapse_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical documents to one representative each.
+
+    Returns ``(reps, exact_edges)``:
+
+    * ``reps`` — one row per distinct text, carrying the keeper (min) id
+      under the original column names; feed THIS to the banding pipelines.
+    * ``exact_edges`` — ``(id_a=keeper, id_b=member)`` star edges linking
+      every non-keeper duplicate to its keeper (keeper = min id ⇒
+      ``id_a < id_b``). Linear in group size — NOT the quadratic
+      within-group pairing.
+
+    This is the hot-bucket guard for the near-dup LSH family: m exact
+    copies of a document agree on every band, so one bucket would yield
+    m(m-1)/2 candidate pairs (10^6 copies of a license file → 10^12 pairs
+    from one key — AQE skew-split parallelizes that blowup, it does not
+    shrink it). Collapsing first makes the banding input one row per
+    distinct content; downstream clustering recovers full groups from the
+    star edges via connected components.
+
+    Shuffle shape: one hash-aggregate keyed on md5(text) (map-side
+    combinable — a million-copy cluster partially aggregates on the map
+    side, so the hot key never concentrates raw rows) plus one join on the
+    hash for the edges.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("id").alias("keeper_id"),
+        # all texts in a group are identical (md5-keyed), so min is just
+        # a deterministic pick that partial-aggregates map-side
+        F.min("text").alias("keeper_text"),
+    )
+    reps = groups.select(
+        F.col("keeper_id").alias(id_col), F.col("keeper_text").alias(text_col)
+    )
+    exact_edges = (
+        hashed.join(groups.select("content_hash", "keeper_id"), on="content_hash")
+        .where(F.col("id") != F.col("keeper_id"))
+        .select(F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return reps, exact_edges
+
+
+def collapse_exact_sql(
+    text_col: str = "text", id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB CTE bodies mirroring :func:`collapse_exact`: defines
+    ``hashed``, ``grp``, ``repdocs`` (reps under original column names)
+    and ``exact_edges`` (id_a, id_b)."""
+    return f"""
+    hashed AS (
+      SELECT {id_col} AS id, {text_col} AS text, md5({text_col}) AS content_hash
+      FROM {table}
+    ),
+    grp AS (
+      SELECT content_hash, min(id) AS keeper_id, min(text) AS keeper_text
+      FROM hashed GROUP BY content_hash
+    ),
+    repdocs AS (SELECT keeper_id AS {id_col}, keeper_text AS {text_col} FROM grp),
+    exact_edges AS (
+      SELECT g.keeper_id AS id_a, h.id AS id_b
+      FROM hashed h JOIN grp g ON h.content_hash = g.content_hash
+      WHERE h.id <> g.keeper_id
+    )"""
+
+
 def tokens_expr(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
@@ -97,12 +169,32 @@ def minhash_sql_aggs(k: int = 16) -> str:
     return ", ".join(parts)
 
 
-def lsh_bucket_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+def lsh_bucket_pairs(
+    sig: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    bucket_cap: int | None = None,
+    observation=None,
+) -> DataFrame:
     """Banded LSH: docs agreeing on any full band become candidate pairs.
 
     Returns distinct (id_a < id_b) pairs. The self-join shuffles on the
-    band-hash key only; bucket sizes are bounded by signature agreement, so
-    no quadratic blowup on the full corpus.
+    band-hash key only. Bucket sizes are bounded by signature agreement
+    ONLY for non-identical content — run :func:`collapse_exact` first (the
+    default in :func:`minhash_near_dups`) so byte-identical clusters never
+    reach the banding at all.
+
+    ``bucket_cap`` is the secondary guard for *near*-identical clusters
+    that survive the exact collapse (e.g. million-copy boilerplate with
+    one-line mutations — every variant still agrees on most bands): each
+    (band_no, band_hash) bucket keeps only the ``bucket_cap`` smallest ids
+    and drops the rest, so a bucket contributes ≤ cap² candidate pairs.
+    Recall note: the kept members of a capped bucket still pair with each
+    other, and a dropped member usually re-appears in some other band's
+    uncapped bucket; the cap trades bounded recall loss on pathological
+    clusters for a hard O(cap²) bound. Dropped-row count is reported via
+    ``observation`` (a ``pyspark.sql.Observation``) as ``capped_drop_rows``
+    when provided — no extra job, the metric rides the main action.
     """
     rows_per_band = k // bands
     band_cols = []
@@ -119,6 +211,17 @@ def lsh_bucket_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
             ])
         ).alias("bd"),
     ).select("id", "bd.band_no", "bd.band_hash")
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_no", "band_hash").orderBy("id")
+        ranked = stacked.withColumn("_rn", F.row_number().over(w))
+        if observation is not None:
+            ranked = ranked.observe(
+                observation,
+                F.sum((F.col("_rn") > bucket_cap).cast("long")).alias("capped_drop_rows"),
+            )
+        stacked = ranked.where(F.col("_rn") <= bucket_cap).drop("_rn")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -180,11 +283,38 @@ def minhash_near_dups(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    collapse: bool = True,
+    bucket_cap: int | None = None,
+    observation=None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+
+    With ``collapse=True`` (default — the duplicate-cluster hot-bucket
+    guard) byte-identical documents are first collapsed to one
+    representative (:func:`collapse_exact`); banding/verification run over
+    representatives only and the output is the union of
+
+    * near-dup edges among representatives (exact Jaccard ≥ threshold), and
+    * exact-duplicate star edges (keeper → member, jaccard = 1.0).
+
+    The edge set is linear in cluster size and connects exactly the same
+    components as the quadratic all-pairs output would — m identical
+    copies contribute m-1 edges instead of m(m-1)/2 candidate pairs from
+    every band bucket. ``collapse=False`` restores the raw all-pairs
+    semantics for small corpora.
+    """
+    if collapse:
+        reps, exact_edges = collapse_exact(df, text_col, id_col)
+        sh = shingles(reps, text_col, id_col, n)
+        sig = minhash_signatures(sh, k)
+        pairs = lsh_bucket_pairs(sig, k, bands, bucket_cap, observation)
+        near = jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+        return near.unionByName(
+            exact_edges.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
     sh = shingles(df, text_col, id_col, n)
     sig = minhash_signatures(sh, k)
-    pairs = lsh_bucket_pairs(sig, k, bands)
+    pairs = lsh_bucket_pairs(sig, k, bands, bucket_cap, observation)
     return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
@@ -298,13 +428,49 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 2,
+    collapse: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via bit-block banding —
     the same banding trick as MinHash-LSH, applied to fingerprint bits:
     candidate pairs come only from block-bucket agreement (each self-join
     shuffles on (block_no, block_val), bounded per bucket — no all-pairs
-    cross product), then exact popcount verifies. Scales like LSH."""
+    cross product), then exact popcount verifies. Scales like LSH.
+
+    ``collapse=True`` (default) is the duplicate-cluster hot-bucket guard,
+    applied at the FINGERPRINT level: documents sharing a simhash value
+    (byte-identical docs always do, and so do the near-identical variants
+    that defeat a content-hash collapse) are grouped to one representative
+    before banding; the output unions
+
+    * hamming ≤ k edges among distinct fingerprints' representatives, and
+    * hamming-0 star edges (keeper → member) inside each identical-
+      fingerprint group — linear in group size, exact by construction.
+
+    m identical fingerprints thus contribute m-1 edges instead of
+    m(m-1)/2 pairs from every bit-block bucket; connected components over
+    the union recover the same clusters. ``collapse=False`` restores raw
+    all-pairs output.
+    """
     s = simhash(df, text_col, id_col, bits)
+    if collapse:
+        grp = s.groupBy("simhash").agg(F.min("id").alias("keeper_id"))
+        reps = grp.select(F.col("keeper_id").alias("id"), "simhash")
+        exact_edges = (
+            s.join(grp, on="simhash")
+            .where(F.col("id") != F.col("keeper_id"))
+            .select(
+                F.col("keeper_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        core = _simhash_banded_pairs(reps, bits, max_hamming)
+        return core.unionByName(exact_edges)
+    return _simhash_banded_pairs(s, bits, max_hamming)
+
+
+def _simhash_banded_pairs(s: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Bit-block banding + popcount verify over an (id, simhash) relation."""
     blocks = _hamming_blocks(bits, max_hamming)
     stacked = s.select(
         "id",
@@ -342,18 +508,28 @@ def simhash_hamming_pairs(
 
 
 def simhash_hamming_sql(
-    simhash_cte: str, bits: int = 64, max_hamming: int = 2
+    simhash_cte: str, bits: int = 64, max_hamming: int = 2, collapse: bool = True
 ) -> str:
     """DuckDB rendering of :func:`simhash_hamming_pairs` given a CTE body
-    ``simhash_cte`` that yields (id, simhash)."""
+    ``simhash_cte`` that yields (id, simhash). Mirrors the fingerprint-
+    level collapse guard when ``collapse=True`` (the Spark default)."""
     blocks = _hamming_blocks(bits, max_hamming)
+    src = "reps" if collapse else "s"
     stacked = " UNION ALL ".join(
         f"SELECT id, simhash, {i} AS block_no,"
-        f" (simhash >> {shift}) & {(1 << width) - 1} AS block_val FROM s"
+        f" (simhash >> {shift}) & {(1 << width) - 1} AS block_val FROM {src}"
         for i, (shift, width) in enumerate(blocks)
     )
+    collapse_ctes = """
+    grp AS (SELECT simhash, min(id) AS keeper_id FROM s GROUP BY simhash),
+    reps AS (SELECT keeper_id AS id, simhash FROM grp),""" if collapse else ""
+    exact_union = f"""
+    UNION ALL
+    SELECT g.keeper_id AS id_a, s.id AS id_b, CAST(0 AS INT) AS hamming
+    FROM s JOIN grp g ON s.simhash = g.simhash
+    WHERE s.id <> g.keeper_id""" if collapse else ""
     return f"""
-    WITH s AS ({simhash_cte}),
+    WITH s AS ({simhash_cte}),{collapse_ctes}
     stacked AS ({stacked}),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -363,5 +539,5 @@ def simhash_hamming_sql(
     )
     SELECT id_a, id_b, CAST(bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) AS INT) AS hamming
     FROM cand
-    WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {max_hamming}
+    WHERE bit_count(CAST(xor(sh_a, sh_b) AS BIGINT)) <= {max_hamming}{exact_union}
     """

@@ -318,13 +318,41 @@ def embedding_near_dup_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH bucket — the 100 TB path
     :func:`embedding_near_dup_pairs` documents: the self-join shuffles on
     the signature only, so candidate volume is Σ bucket² instead of N².
     Deterministic (literal hyperplanes) → exact DuckDB oracle via
     :func:`emb_near_dup_lsh_sql`. Near-dups differing on a plane side are
-    missed by design — the standard LSH recall trade."""
+    missed by design — the standard LSH recall trade.
+
+    ``collapse=True`` (default) is the duplicate-cluster hot-bucket guard:
+    byte-identical vectors (which agree on every plane and would make the
+    bucket self-join quadratic in copy count) collapse to one keeper
+    (min id) before bucketing; output unions the rep-level near-dup pairs
+    with (keeper → member, cosine = 1.0) star edges — linear per cluster,
+    same connected components.
+    """
+    if collapse:
+        grp = emb.groupBy(F.col(vec_col).alias("v")).agg(
+            F.min(id_col).alias("keeper_id")
+        )
+        reps = grp.select(F.col("keeper_id").alias(id_col), F.col("v").alias(vec_col))
+        exact_edges = (
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(grp, on="v")
+            .where(F.col("id") != F.col("keeper_id"))
+            .select(
+                F.col("keeper_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+            )
+        )
+        core = embedding_near_dup_lsh(
+            reps, threshold, n_planes, dim, id_col, vec_col, collapse=False
+        )
+        return core.unionByName(exact_edges)
     sig = lsh_signature(F.col(vec_col), n_planes, dim)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), sig.alias("bucket"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), sig.alias("bucket"))
@@ -346,17 +374,35 @@ def emb_near_dup_lsh_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse: bool = True,
 ) -> str:
-    """Exact DuckDB rendering of :func:`embedding_near_dup_lsh`."""
+    """Exact DuckDB rendering of :func:`embedding_near_dup_lsh`
+    (including the identical-vector collapse guard when ``collapse``)."""
     v = f"CAST({vec_col} AS DOUBLE[])"
+    if not collapse:
+        return f"""
+        WITH e AS (
+          SELECT {id_col} AS id, {v} AS v, ({lsh_sig_sql(v, n_planes, dim)}) AS bucket
+          FROM {table}
+        )
+        SELECT a.id AS id_a, b.id AS id_b, round({cosine_sql('a.v', 'b.v')}, 6) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE round({cosine_sql('a.v', 'b.v')}, 6) >= {threshold}
+        """
     return f"""
-    WITH e AS (
-      SELECT {id_col} AS id, {v} AS v, ({lsh_sig_sql(v, n_planes, dim)}) AS bucket
-      FROM {table}
+    WITH raw AS (SELECT {id_col} AS id, {v} AS v FROM {table}),
+    grp AS (SELECT v, min(id) AS keeper_id FROM raw GROUP BY v),
+    e AS (
+      SELECT keeper_id AS id, v, ({lsh_sig_sql('v', n_planes, dim)}) AS bucket
+      FROM grp
     )
     SELECT a.id AS id_a, b.id AS id_b, round({cosine_sql('a.v', 'b.v')}, 6) AS cosine
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.id < b.id
     WHERE round({cosine_sql('a.v', 'b.v')}, 6) >= {threshold}
+    UNION ALL
+    SELECT g.keeper_id AS id_a, r.id AS id_b, 1.0 AS cosine
+    FROM raw r JOIN grp g ON r.v = g.v
+    WHERE r.id <> g.keeper_id
     """
 
 

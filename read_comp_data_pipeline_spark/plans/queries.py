@@ -822,16 +822,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
-def _shingle_cte() -> str:
+def _shingle_cte(source: str = "documents") -> str:
     """Shared DuckDB CTE: distinct 5-gram word shingles per doc (lead-based
     sliding window — matches the Spark array-slice construction for docs
     with ≥5 tokens; shorter docs yield no shingles on either side)."""
-    return r"""
+    return rf"""
     toks AS (
       SELECT doc_id AS id,
              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
              unnest(generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')))) AS pos
-      FROM documents
+      FROM {source}
     ),
     sh AS (
       SELECT DISTINCT id, shingle FROM (
@@ -854,10 +854,17 @@ _BAND_COLS_SQL = ", ".join(
 )
 
 
+from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    collapse_exact,
+    collapse_exact_sql,
+)
+
+
 @_q(
     "dedup_minhash_lsh",
     f"""
-    WITH {_shingle_cte()},
+    WITH {collapse_exact_sql()},
+    {_shingle_cte(source="repdocs")},
     sig AS (SELECT id, {_MINHASH_AGGS_SQL} FROM sh GROUP BY id),
     banded AS (SELECT id, {_BAND_COLS_SQL} FROM sig),
     stacked AS (
@@ -884,19 +891,29 @@ _BAND_COLS_SQL = ", ".join(
     JOIN sizes sa ON sa.id = p.id_a
     JOIN sizes sb ON sb.id = p.id_b
     WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.4
+    UNION ALL
+    SELECT id_a, id_b, 1.0 AS jaccard FROM exact_edges
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup pipeline with exact-Jaccard
     verification (≥0.4). Candidate pairs come only from band-bucket
-    agreement — the scale path that avoids the all-pairs cross product."""
+    agreement — the scale path that avoids the all-pairs cross product.
+    Byte-identical documents are collapsed to one representative BEFORE
+    banding (the duplicate-cluster hot-bucket guard — m exact copies
+    contribute m-1 star edges, not m²/2 candidate pairs from every band
+    bucket) and re-linked as (keeper, member, jaccard=1.0) edges."""
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d, n=5)
+    reps, exact_edges = collapse_exact(d)
+    sh = shingles(reps, n=5)
     sig = minhash_signatures(sh, k=16)
     pairs = lsh_bucket_pairs(sig, k=16, bands=4)
     j = jaccard_on_pairs(pairs, sh)
-    return j.where(F.col("jaccard") >= 0.4).select(
+    near = j.where(F.col("jaccard") >= 0.4).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    return near.unionByName(
+        exact_edges.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
 
 

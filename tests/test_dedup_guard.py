@@ -1,0 +1,169 @@
+"""Duplicate-cluster hot-bucket guard for the near-dup LSH family.
+
+The scale pathology (VERDICT r3 #1): m byte-identical documents agree on
+every LSH band, so one band bucket yields m(m-1)/2 candidate pairs —
+10^6 copies of a license file → 10^12 pairs from one key. Source-code
+corpora (this engine's domain) guarantee million-copy boilerplate, so the
+guard collapses exact duplicates to one representative BEFORE banding and
+re-links members with linear star edges.
+
+These tests plant exactly that cluster and assert:
+  * candidate-pair volume is O(N) post-guard vs O(N²) unguarded,
+  * recall is preserved (identical + near-dup docs form one connected
+    component over the guarded edge set),
+  * the secondary per-bucket cap bounds near-identical (non-exact)
+    clusters and reports its drop count via Observation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.operators.dedup import (
+    collapse_exact,
+    lsh_bucket_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    shingles,
+    simhash_hamming_pairs,
+)
+from read_comp_data_pipeline_spark.operators.similarity import embedding_near_dup_lsh
+
+BASE = " ".join(f"tok{i}" for i in range(60))  # 60-word base doc
+N_COPIES = 200
+
+
+def _variant(word_idx: int, repl: str) -> str:
+    toks = BASE.split()
+    toks[word_idx] = repl
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 identical copies of BASE + 3 one-word near-dup variants +
+    40 distinct unrelated docs."""
+    rows = [(i, BASE) for i in range(N_COPIES)]
+    rows += [
+        (N_COPIES, _variant(10, "changed")),
+        (N_COPIES + 1, _variant(30, "mutated")),
+        (N_COPIES + 2, _variant(50, "edited")),
+    ]
+    rows += [
+        (300 + i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _components(edges: list[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {n: find(n) for n in nodes}
+
+
+def test_candidate_pairs_linear_not_quadratic(spark, planted):
+    """Guarded banding sees one representative per distinct text: the
+    candidate set is tiny, while the unguarded path blows up O(N²)."""
+    reps, _ = collapse_exact(planted, "text", "doc_id")
+    sh = shingles(reps, "text", "doc_id", n=5)
+    guarded_pairs = lsh_bucket_pairs(minhash_signatures(sh, 16), 16, 4).count()
+    # distinct texts: 1 base + 3 variants + 40 unrelated = 44 → pairs bounded
+    # by 44*43/2 even in the worst case; actual band agreement keeps it tiny.
+    assert guarded_pairs <= 44 * 43 // 2
+    assert guarded_pairs < 100
+
+    sh_raw = shingles(planted, "text", "doc_id", n=5)
+    unguarded_pairs = lsh_bucket_pairs(minhash_signatures(sh_raw, 16), 16, 4).count()
+    assert unguarded_pairs >= N_COPIES * (N_COPIES - 1) // 2  # the blowup is real
+
+
+def test_minhash_guard_preserves_recall(spark, planted):
+    """All 203 copies+variants form ONE connected component over the
+    guarded edge set (star edges + rep-level near-dup edges)."""
+    out = minhash_near_dups(planted, "text", "doc_id", n=5, k=16, bands=4, threshold=0.7)
+    rows = out.collect()
+    # linear edge volume: 199 star edges + a handful of rep edges
+    assert len(rows) < N_COPIES + 50
+    edges = [(r.id_a, r.id_b) for r in rows]
+    nodes = set(range(N_COPIES + 3)) | {300 + i for i in range(40)}
+    comp = _components(edges, nodes)
+    family = {comp[i] for i in range(N_COPIES + 3)}
+    assert len(family) == 1, "identical cluster + near-dup variants must connect"
+    # unrelated docs stay out of the family component
+    assert all(comp[300 + i] not in family for i in range(40))
+    # star edges carry jaccard exactly 1.0
+    star = [r for r in rows if r.id_a == 0 and r.id_b < N_COPIES]
+    assert len(star) == N_COPIES - 1
+    assert all(r.jaccard == 1.0 for r in star)
+
+
+def test_simhash_guard_is_linear_and_connected(spark, planted):
+    out = simhash_hamming_pairs(planted, "text", "doc_id", bits=64, max_hamming=2)
+    rows = out.collect()
+    assert len(rows) < N_COPIES + 250  # linear, not 200*199/2 ≈ 19,900
+    edges = [(r.id_a, r.id_b) for r in rows]
+    nodes = set(range(N_COPIES + 3)) | {300 + i for i in range(40)}
+    comp = _components(edges, nodes)
+    assert len({comp[i] for i in range(N_COPIES)}) == 1
+    zero = [r for r in rows if r.id_b < N_COPIES and r.id_a == 0]
+    assert all(r.hamming == 0 for r in zero)
+
+
+def test_embedding_lsh_guard_is_linear(spark):
+    m = 100
+    base = [float(i % 7) - 3.0 for i in range(16)]
+    rows = [(i, base) for i in range(m)]
+    rows += [(1000 + i, [((i * 31 + j * 17) % 11) - 5.0 for j in range(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = embedding_near_dup_lsh(emb, threshold=0.99, n_planes=6, dim=16).collect()
+    star = [r for r in out if r.id_b < m]
+    assert len(star) == m - 1  # star edges, not m(m-1)/2 = 4950
+    assert all(r.id_a == 0 and r.cosine == 1.0 for r in star)
+    assert len(out) < m + 100
+
+
+def test_bucket_cap_bounds_near_identical_cluster(spark):
+    """Non-exact near-identical cluster (every doc differs by one word —
+    collapse is a no-op) is bounded by the per-bucket cap, and the drop
+    count is observable without an extra job."""
+    rows = [(i, _variant(i % 55, f"mut{i}")) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = shingles(df, "text", "doc_id", n=5)
+    sig = minhash_signatures(sh, 16)
+
+    uncapped = lsh_bucket_pairs(sig, 16, 4).count()
+    assert uncapped > 2000  # collapse can't help here; the blowup exists
+
+    obs = Observation("lsh_cap")
+    capped = lsh_bucket_pairs(sig, 16, 4, bucket_cap=8, observation=obs)
+    n = capped.count()
+    # ≤ 4 bands × (8 choose 2) pairs per hot bucket, plus slack for
+    # partial-agreement buckets
+    assert n <= 4 * 28 + 200
+    assert obs.get["capped_drop_rows"] > 0
+
+
+def test_guard_noop_on_duplicate_free_corpus(spark, sf_dir):
+    """On the synthetic corpus (no exact dups) the guarded pipeline returns
+    exactly the unguarded result — the guard costs one extra no-op
+    aggregate, never answers."""
+    from read_comp_data_pipeline_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = minhash_near_dups(d, threshold=0.4, collapse=True)
+    b = minhash_near_dups(d, threshold=0.4, collapse=False)
+    got = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in a.collect())
+    exp = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in b.collect())
+    assert got == exp

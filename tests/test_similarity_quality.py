@@ -56,8 +56,14 @@ def test_minhash_finds_planted_near_dups(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     found = minhash_near_dups(df, n=5, k=16, bands=4, threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]) for r in found.collect()}
-    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    # guarded (default) contract: exact dup 2 links to keeper 0 via a star
+    # edge; (1, 2) is implied transitively, not emitted
+    assert (0, 1) in pairs and (0, 2) in pairs
     assert not any(3 in p or 4 in p for p in pairs)
+    # unguarded mode restores raw all-pairs output
+    raw = minhash_near_dups(df, n=5, k=16, bands=4, threshold=0.5, collapse=False)
+    raw_pairs = {(r["id_a"], r["id_b"]) for r in raw.collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= raw_pairs
 
 
 def test_lsh_jaccard_matches_exact_python(spark):
