@@ -105,3 +105,74 @@ def test_asof_matches_quadratic_reference(spark):
         cands = [(rt, rv) for rk, rt, rv in refs if rk == k and rt < t]
         expect = max(cands)[1] if cands else None
         assert got[pid] == expect, (pid, got[pid], expect)
+
+
+def test_asof_null_payload_travels_with_its_row(spark):
+    """ADVICE r3: a NULL payload in the matched (newest preceding) ref row
+    must surface as NULL — an older row's non-null value must NOT be
+    spliced in. The matched row travels as one struct."""
+    probe = _mk(spark, [(1, "u", _ts(10))], ["pid", "k", "t"])
+    ref = _mk(spark, [
+        ("u", _ts(2), 20.0, "old"),
+        ("u", _ts(5), None, "new"),   # matched row: val is NULL
+    ], ["k", "t", "val", "tag"])
+    row = asof_join(probe, ref, "k", "t", ["val", "tag"], strict=True).collect()[0]
+    assert row["t_asof"] == _ts(5)
+    assert row["tag_asof"] == "new"
+    assert row["val_asof"] is None   # not 20.0 from the older row
+
+
+def test_range_count_join_keeps_duplicate_probe_rows(spark):
+    """ADVICE r3: two fully-identical probe rows must yield two output
+    rows each with the true count, not one row with the doubled sum."""
+    probe = _mk(spark, [(1, "u", _ts(20)), (1, "u", _ts(20))], ["pid", "k", "t"])
+    ref = _mk(spark, [("u", _ts(15)), ("u", _ts(18))], ["k", "t"])
+    out = range_count_join(probe, ref, "k", "t", width_secs=10, count_alias="n").collect()
+    assert len(out) == 2
+    assert [r["n"] for r in out] == [2, 2]
+
+
+def test_asof_sliced_matches_unsliced_on_hot_key(spark):
+    """Skew bound: the (key, time-slice)+carry-in formulation returns
+    exactly the plain per-key result on a planted hot key — including
+    probes in ref-free slices (carry across empty slices), strict and
+    non-strict, and NULL payloads."""
+    import random
+
+    rng = random.Random(7)
+    # one hot key with 2000 probes over 1000s + a cold key; refs sparse
+    probes = [(i, "hot", _ts(rng.randrange(0, 1000))) for i in range(2000)]
+    probes += [(10_000 + i, "cold", _ts(i * 37 % 500)) for i in range(20)]
+    refs = {}
+    for j in range(150):
+        t = rng.randrange(0, 900)
+        refs[("hot", t)] = float(j) if j % 5 else None   # some NULL payloads
+    for j in range(5):
+        refs[("cold", j * 100)] = float(j)
+    ref_rows = [(k, _ts(t), v) for (k, t), v in refs.items()]
+
+    p = _mk(spark, probes, ["pid", "k", "t"])
+    r = spark.createDataFrame(ref_rows, "k string, t timestamp, val double")
+    for strict in (True, False):
+        plain = {row["pid"]: (row["val_asof"], row["t_asof"]) for row in
+                 asof_join(p, r, "k", "t", ["val"], strict=strict).collect()}
+        sliced = {row["pid"]: (row["val_asof"], row["t_asof"]) for row in
+                  asof_join(p, r, "k", "t", ["val"], strict=strict, slice_secs=60).collect()}
+        assert sliced == plain
+
+
+def test_asof_sliced_partitions_by_slice(spark):
+    """The sliced window must actually partition on (key, slice) — the
+    skew bound is the partition key, so assert it in the plan."""
+    import contextlib
+    import io
+
+    p = _mk(spark, [(1, "u", _ts(10))], ["pid", "k", "t"])
+    r = _mk(spark, [("u", _ts(2), 1.0)], ["k", "t", "val"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(p, r, "k", "t", ["val"], slice_secs=60).explain()
+    plan = buf.getvalue()
+    assert "_bk" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
