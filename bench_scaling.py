@@ -149,6 +149,12 @@ def main() -> None:
     ap.add_argument("--epoch-size", type=int, default=2_000_000)
     ap.add_argument("--mode", default="mor")
     ap.add_argument("--runs", type=int, default=2, help="best-of-N per level (host noise)")
+    ap.add_argument(
+        "--levels", default="8,32",
+        help="comma-separated parallelism levels, e.g. 8,16,32 — the "
+        "efficiency matrix is computed for every pair (three levels give "
+        "the flatline argument a middle point)",
+    )
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument(
         "--write-md", action="store_true",
@@ -216,12 +222,12 @@ def main() -> None:
         "speedup_8_to_32": round(t32 / t8, 3),
         "scaling_efficiency": round(eff, 3),
     }
-    if kernel:
+    if kernel and 8 in kernel and 32 in kernel:
         k_speed = kernel[8]["kernel_secs"] / kernel[32]["kernel_secs"]
         summary["host_kernel_speedup"] = round(k_speed, 3)
         summary["host_kernel_efficiency"] = round(k_speed / 4, 3)
         summary["efficiency_vs_host_ceiling"] = round(eff / (k_speed / 4), 3)
-    if skern:
+    if skern and 8 in skern and 32 in skern:
         s_speed = skern[8]["string_kernel_secs"] / skern[32]["string_kernel_secs"]
         summary["string_kernel_speedup"] = round(s_speed, 3)
         summary["string_kernel_efficiency"] = round(s_speed / 4, 3)
@@ -231,7 +237,7 @@ def main() -> None:
     with open("BENCH/scaling_runs.jsonl", "a") as f:
         f.write(json.dumps({"summary": summary, "levels": results}) + "\n")
     print("appended BENCH/scaling_runs.jsonl")
-    if args.write_md:
+    if args.write_md and 8 in results and 32 in results:
         write_baseline_md(summary, results)
         print("wrote BENCH/BASELINE.md")
 

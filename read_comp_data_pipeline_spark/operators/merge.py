@@ -330,6 +330,7 @@ class HashMergeTable:
         src_rows: int | None = None,
         lag_events: int = 0,
         src_keys_broadcastable: bool = True,
+        pre_commit=None,
     ) -> dict[str, Any]:
         """Apply one compacted epoch slice. Source must have ≤1 row per key
         plus an ``op`` column ('I'/'U'/'D'); all non-op columns must exist in
@@ -348,6 +349,13 @@ class HashMergeTable:
         run as plain shuffled joins — heavier but bounded; AQE may still
         upgrade them at runtime if the statistics allow.
 
+        ``pre_commit``: optional zero-arg callable invoked after the
+        epoch's data files are written but BEFORE the snapshot commit —
+        the crash-safe point for epoch-scoped side effects (e.g. the
+        deferred quarantine write): a crash before the commit re-runs the
+        epoch and overwrites the side effect; a crash after it finds the
+        side effect already durable. Never invoked for skipped epochs.
+
         Returns a stats dict; skips (idempotently) if ``epoch`` was already
         committed.
         """
@@ -356,7 +364,7 @@ class HashMergeTable:
         if epoch <= snap["epoch"]:
             return {"skipped": True, "epoch": epoch, "rows_applied": 0}
         if snap.get("mode", "cow") == "mor":
-            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows, lag_events)
+            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows, lag_events, pre_commit)
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
@@ -367,7 +375,7 @@ class HashMergeTable:
         else:
             affected = [r["_b"] for r in src.select("_b").distinct().collect()]
         if not affected:
-            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0)
+            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit)
 
         merged = self._cow_plan(snap, src, op_col, affected, src_keys_broadcastable)
 
@@ -434,6 +442,8 @@ class HashMergeTable:
         if src_seq_hi is not None:
             snap["seq_hi"] = max(int(snap.get("seq_hi", -1) or -1), int(src_seq_hi))
         snap["version"] += 1
+        if pre_commit is not None:
+            pre_commit()
         self._commit_snapshot(snap)
         return {
             "skipped": False,
@@ -505,7 +515,7 @@ class HashMergeTable:
 
     def _merge_mor(
         self, snap, source: DataFrame, epoch: int, lo, hi, t0,
-        src_rows: int | None = None, lag_events: int = 0,
+        src_rows: int | None = None, lag_events: int = 0, pre_commit=None,
     ) -> dict[str, Any]:
         """Merge-on-read arm: append the compacted slice (op retained) as a
         bucket-partitioned delta — no target read, no join, no rewrite.
@@ -538,7 +548,7 @@ class HashMergeTable:
             )
         bucket_rows = self._written_bucket_counts(out_path)
         if sum(bucket_rows.values()) == 0:
-            return self._commit_noop(snap, epoch, lo, hi, t0)
+            return self._commit_noop(snap, epoch, lo, hi, t0, pre_commit)
         applied_rows = int(src_rows) if src_rows is not None else sum(bucket_rows.values())
 
         committed_ts = time.time()
@@ -579,6 +589,8 @@ class HashMergeTable:
         if hi is not None:
             snap["seq_hi"] = max(int(snap.get("seq_hi", -1) or -1), int(hi))
         snap["version"] += 1
+        if pre_commit is not None:
+            pre_commit()
         self._commit_snapshot(snap)
         return {
             "skipped": False,
@@ -642,7 +654,7 @@ class HashMergeTable:
         self._commit_snapshot(snap)
         return {"skipped": False, "secs": time.monotonic() - t0, "rows": sum(bucket_rows.values())}
 
-    def _commit_noop(self, snap, epoch, lo, hi, t0) -> dict[str, Any]:
+    def _commit_noop(self, snap, epoch, lo, hi, t0, pre_commit=None) -> dict[str, Any]:
         self._append_manifest(
             epoch,
             [
@@ -660,6 +672,8 @@ class HashMergeTable:
         if hi is not None:
             snap["seq_hi"] = max(int(snap.get("seq_hi", -1) or -1), int(hi))
         snap["version"] += 1
+        if pre_commit is not None:
+            pre_commit()
         self._commit_snapshot(snap)
         return {"skipped": False, "epoch": epoch, "rows_applied": 0, "buckets_touched": 0,
                 "secs": time.monotonic() - t0}
@@ -800,10 +814,17 @@ class HashMergeTable:
             return None
         through = int(snap.get(f"{kind}_compacted_through", -1))
         parts = []
-        seg_paths = [
-            os.path.join(d, n) for n in self._side_segments(snap, kind)
-            if os.path.exists(os.path.join(d, n))
-        ]
+        seg_paths = [os.path.join(d, n) for n in self._side_segments(snap, kind)]
+        missing = [p for p in seg_paths if not os.path.exists(p)]
+        if missing:
+            # a segment the COMMITTED snapshot references is gone — that is
+            # exactly the corruption the segment-list commit protocol
+            # exists to surface; silently skipping it would drop
+            # manifest/metrics history without a trace
+            raise FileNotFoundError(
+                f"{kind} segment(s) named in committed snapshot are missing "
+                f"on disk: {missing} — side table at {d} is corrupt"
+            )
         if seg_paths:
             parts.append(self.spark.read.schema(raw_schema).parquet(*seg_paths))
         epoch_files = [

@@ -110,18 +110,30 @@ def encode_bmp(rgb: "np.ndarray") -> bytes:
     return header + info + padded.tobytes()
 
 
+class DecodeError(NotImplementedError):
+    """Malformed payload that matched a supported format's magic but failed
+    to parse (truncated chunk, inconsistent sizes, negative dimensions…).
+    Subclasses NotImplementedError so every documented clean-rejection path
+    (the honesty guards, decode_and_featurize's fake=False contract) catches
+    it uniformly — callers never see a raw struct.error/ValueError."""
+
+
 def decode_bmp(data: bytes) -> "np.ndarray":
     """Parse a 24-bit uncompressed (BI_RGB) BMP into (H, W, 3) uint8 RGB.
     Anything else — other depths, RLE/compressed BMPs, non-BMP payloads —
     raises NotImplementedError (compressed codecs are not available in
-    this environment; see module docstring)."""
+    this environment; see module docstring); malformed-but-magic-matching
+    payloads raise :class:`DecodeError` with the payload context."""
     buf = bytes(data)
     if len(buf) < 54 or buf[:2] != b"BM":
         raise NotImplementedError("not an uncompressed BMP payload")
-    (_, _, _, _, offset) = struct.unpack("<2sIHHI", buf[:14])
-    (hsize, w, h, _planes, depth, compression, *_rest) = struct.unpack(
-        "<IiiHHIIiiII", buf[14:54]
-    )
+    try:
+        (_, _, _, _, offset) = struct.unpack("<2sIHHI", buf[:14])
+        (hsize, w, h, _planes, depth, compression, *_rest) = struct.unpack(
+            "<IiiHHIIiiII", buf[14:54]
+        )
+    except struct.error as e:
+        raise DecodeError(f"malformed BMP header ({len(buf)} bytes): {e}") from e
     if hsize < 40 or depth != 24 or compression != 0:
         raise NotImplementedError(
             f"only 24-bit BI_RGB BMP decodes without codec libs (depth={depth}, "
@@ -129,12 +141,96 @@ def decode_bmp(data: bytes) -> "np.ndarray":
         )
     top_down = h < 0
     h = abs(h)
-    row_bytes = (w * 3 + 3) & ~3
-    px = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h, offset=offset)
-    rows = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if w <= 0 or h == 0:
+        raise DecodeError(f"malformed BMP dimensions {w}x{h} ({len(buf)} bytes)")
+    try:
+        row_bytes = (w * 3 + 3) & ~3
+        px = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h, offset=offset)
+        rows = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    except ValueError as e:
+        raise DecodeError(
+            f"truncated/inconsistent BMP pixel data for {w}x{h} "
+            f"({len(buf)} bytes): {e}"
+        ) from e
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _pnm_header(buf: bytes, magic: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Parse a binary PNM header (``P5``/``P6``): magic, then ``n_fields``
+    whitespace-separated decimal fields with ``#`` comments, returning
+    (fields, offset of the raster). Raises :class:`DecodeError` on any
+    malformation past the magic."""
+    pos, fields = len(magic), []
+    try:
+        while len(fields) < n_fields:
+            while buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                pos = buf.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while buf[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError(f"expected integer at byte {pos}")
+            fields.append(int(buf[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+    except (ValueError, IndexError) as e:
+        raise DecodeError(f"malformed PNM header ({len(buf)} bytes): {e}") from e
+    return fields, pos
+
+
+def encode_ppm(rgb: "np.ndarray") -> bytes:
+    """Serialize (H, W, 3) uint8 RGB as binary PPM (P6, maxval 255)."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    h, w, c = arr.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> "np.ndarray":
+    """Parse a binary PPM (P6, maxval 255) into (H, W, 3) uint8 RGB.
+    Plain-text P3 and >8-bit maxvals raise NotImplementedError; malformed
+    P6 payloads raise :class:`DecodeError`."""
+    buf = bytes(data)
+    if buf[:2] != b"P6":
+        raise NotImplementedError("not a binary PPM (P6) payload")
+    (w, h, maxval), off = _pnm_header(buf, b"P6", 3)
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PPM decodes here (maxval={maxval})")
+    if w <= 0 or h <= 0:
+        raise DecodeError(f"malformed PPM dimensions {w}x{h}")
+    try:
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=off)
+        return px.reshape(h, w, 3).copy()
+    except ValueError as e:
+        raise DecodeError(f"truncated PPM raster for {w}x{h} ({len(buf)} bytes): {e}") from e
+
+
+def encode_pgm(gray: "np.ndarray") -> bytes:
+    """Serialize (H, W) uint8 grayscale as binary PGM (P5, maxval 255)."""
+    arr = np.asarray(gray, dtype=np.uint8)
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_pgm(data: bytes) -> "np.ndarray":
+    """Parse a binary PGM (P5, maxval 255) into (H, W) uint8 grayscale."""
+    buf = bytes(data)
+    if buf[:2] != b"P5":
+        raise NotImplementedError("not a binary PGM (P5) payload")
+    (w, h, maxval), off = _pnm_header(buf, b"P5", 3)
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PGM decodes here (maxval={maxval})")
+    if w <= 0 or h <= 0:
+        raise DecodeError(f"malformed PGM dimensions {w}x{h}")
+    try:
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=off)
+        return px.reshape(h, w).copy()
+    except ValueError as e:
+        raise DecodeError(f"truncated PGM raster for {w}x{h} ({len(buf)} bytes): {e}") from e
 
 
 def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
@@ -155,26 +251,37 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 16000) -> bytes:
 
 def decode_wav(data: bytes) -> tuple["np.ndarray", int]:
     """Parse a 16-bit PCM RIFF/WAVE payload into ((N, ch) int16, rate).
-    Compressed/float WAV variants raise NotImplementedError."""
+    Compressed/float WAV variants raise NotImplementedError; malformed-
+    but-magic-matching payloads (truncated fmt chunk, data length not a
+    multiple of channels×2) raise :class:`DecodeError`."""
     buf = bytes(data)
     if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos, fmt, rate, ch, bits, pcm = 12, None, None, None, None, None
-    while pos + 8 <= len(buf):
-        cid, csize = struct.unpack("<4sI", buf[pos:pos + 8])
-        body = buf[pos + 8 : pos + 8 + csize]
-        if cid == b"fmt ":
-            tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            pcm = tag == 1
-        elif cid == b"data":
-            fmt = body
-        pos += 8 + csize + (csize & 1)
+    try:
+        while pos + 8 <= len(buf):
+            cid, csize = struct.unpack("<4sI", buf[pos:pos + 8])
+            body = buf[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                pcm = tag == 1
+            elif cid == b"data":
+                fmt = body
+            pos += 8 + csize + (csize & 1)
+    except struct.error as e:
+        raise DecodeError(f"malformed WAV chunk ({len(buf)} bytes): {e}") from e
     if fmt is None or not pcm or bits != 16:
         raise NotImplementedError(
             f"only 16-bit PCM WAV decodes without codec libs (pcm={pcm}, bits={bits})"
         )
-    arr = np.frombuffer(fmt, dtype="<i2")
-    return arr.reshape(-1, ch).copy(), int(rate)
+    try:
+        arr = np.frombuffer(fmt, dtype="<i2")
+        return arr.reshape(-1, ch).copy(), int(rate)
+    except ValueError as e:
+        raise DecodeError(
+            f"inconsistent WAV data chunk ({len(fmt)} bytes for {ch} "
+            f"channel(s)): {e}"
+        ) from e
 
 
 def _pool(values: "np.ndarray", dim: int) -> list[float]:
@@ -203,13 +310,18 @@ def audio_feature(data: bytes, dim: int = 8) -> list[float]:
 
 
 def real_feature(data: bytes | None, dim: int = 8) -> list[float] | None:
-    """Dispatch on payload magic: BMP → image pooling, WAV → RMS windows,
-    anything else (compressed formats) raises NotImplementedError."""
+    """Dispatch on payload magic: BMP/PPM/PGM → image pooling, WAV → RMS
+    windows, anything else (compressed formats) raises NotImplementedError."""
     if data is None:
         return None
     buf = bytes(data)
     if buf[:2] == b"BM":
         return image_feature(buf, dim)
+    if buf[:2] == b"P6":
+        gray = decode_ppm(buf).mean(axis=2).ravel() / 255.0
+        return _pool(gray, dim)
+    if buf[:2] == b"P5":
+        return _pool(decode_pgm(buf).ravel() / 255.0, dim)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return audio_feature(buf, dim)
     raise NotImplementedError(

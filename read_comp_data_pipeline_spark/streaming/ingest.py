@@ -113,7 +113,9 @@ def default_validator(df: DataFrame):
     )
 
 
-def validate_slice(slice_df: DataFrame, validator=None) -> tuple[DataFrame, DataFrame]:
+def validate_slice(
+    slice_df: DataFrame, validator=None, observation=None
+) -> tuple[DataFrame, DataFrame]:
     """Split a WAL slice into (good, quarantined) rows.
 
     Replaces the reference's retry machine (``search_scrape.py:241-306`` —
@@ -130,12 +132,27 @@ def validate_slice(slice_df: DataFrame, validator=None) -> tuple[DataFrame, Data
     may carry an ``_attempts`` column (prior attempt count, 0 for fresh
     rows) which a validator can consult to model transient failures; bad
     rows come out with ``attempts = _attempts + 1``.
+
+    ``observation``: optional ``pyspark.sql.Observation`` attached to the
+    GOOD branch's lineage below its filter — any action that consumes the
+    good rows (the merge apply) reports the total bad-row count as
+    ``bad_rows`` for free, letting the ingest loop skip the quarantine
+    write entirely on clean epochs. The bad branch is built un-observed
+    so writing it later re-executes nothing observation-related.
     """
     if "_attempts" not in slice_df.columns:
         slice_df = slice_df.withColumn("_attempts", F.lit(0))
     err = (validator or default_validator)(slice_df)
     tagged = slice_df.withColumn("error", err)
-    good = tagged.where(F.col("error").isNull()).drop("error", "_attempts")
+    good_src = tagged
+    if observation is not None:
+        good_src = tagged.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.col("error").isNotNull().cast("long")), F.lit(0).cast("long")
+            ).alias("bad_rows"),  # coalesce: empty slice → 0, not NULL
+        )
+    good = good_src.where(F.col("error").isNull()).drop("error", "_attempts")
     bad = (
         tagged.where(F.col("error").isNotNull())
         .withColumn("attempts", (F.col("_attempts") + 1).cast("int"))
@@ -301,6 +318,7 @@ def _run_epochs(
         par = spark.sparkContext.defaultParallelism
         do_prebucket = cnt >= prebucket_min_events and units < 2 * par
 
+        quarantine_pre_commit = None
         if quarantine:
             # re-drive previously quarantined rows (attempt escalation:
             # the reference's 3-attempts-then-give-up, search_scrape.py:241-306).
@@ -308,6 +326,10 @@ def _run_epochs(
             # MERGE rejects it if the key moved on in the meantime — no
             # extra staleness guard needed here.
             pending = _read_pending(spark, table_path, before_epoch=epoch)
+            status_col = F.when(
+                F.col("attempts") < max_attempts, F.lit("pending")
+            ).otherwise(F.lit("dead"))
+            qpath = f"{table_path}/quarantine/e{epoch:010d}"
             if pending is not None:
                 retry_src = (
                     pending.where(F.col("attempts") < max_attempts)
@@ -317,21 +339,34 @@ def _run_epochs(
                 slice_df = slice_df.withColumn("_attempts", F.lit(0)).unionByName(
                     retry_src, allowMissingColumns=True
                 )
-            slice_df, bad = validate_slice(slice_df, validator)
-            # ONE status-partitioned write per epoch (pending | dead) — the
-            # previous separate pending/dead writes ran the validation
-            # lineage as two Spark jobs per epoch even when the slice was
-            # clean (VERDICT r2). A row goes dead in exactly one epoch
-            # (only attempts < max_attempts rows are re-driven), so the
-            # per-epoch status=dead partitions are disjoint.
-            bad.withColumn(
-                "status",
-                F.when(F.col("attempts") < max_attempts, F.lit("pending")).otherwise(
-                    F.lit("dead")
-                ),
-            ).write.mode("overwrite").partitionBy("status").parquet(
-                f"{table_path}/quarantine/e{epoch:010d}"
-            )
+                # pendings were consumed: the epoch MUST write its own
+                # quarantine dir (even an empty one) so _read_pending's
+                # latest-dir rule sees the consumption and stops re-driving
+                # rows that just succeeded. ONE status-partitioned write
+                # (pending | dead); a row goes dead in exactly one epoch.
+                slice_df, bad = validate_slice(slice_df, validator)
+                bad.withColumn("status", status_col).write.mode(
+                    "overwrite"
+                ).partitionBy("status").parquet(qpath)
+            else:
+                # nothing pending → the write is only needed if this slice
+                # actually has bad rows. The bad-count rides the merge
+                # action via Observation (zero extra jobs on the clean
+                # path); the conditional write runs at merge pre-commit —
+                # after the data write, before the snapshot commit — so a
+                # crash on either side replays or retains it (merge()
+                # docstring). Clean epochs write NOTHING: the last fixed
+                # per-epoch quarantine job is gone (VERDICT r3 #3).
+                from pyspark.sql import Observation
+
+                q_obs = Observation()
+                slice_df, bad = validate_slice(slice_df, validator, observation=q_obs)
+
+                def quarantine_pre_commit(bad=bad, q_obs=q_obs, qpath=qpath, status_col=status_col):
+                    if int(q_obs.get["bad_rows"] or 0) > 0:
+                        bad.withColumn("status", status_col).write.mode(
+                            "overwrite"
+                        ).partitionBy("status").parquet(qpath)
 
         # transactional schema evolution BEFORE the wave that needs it
         ensure_evolved(table, slice_df.schema)
@@ -371,6 +406,7 @@ def _run_epochs(
             # for the COW probe broadcast (the event count upper-bounds the
             # key count) — the MERGE falls back to shuffled probe joins
             src_keys_broadcastable=(cnt is None or cnt <= compact_threshold),
+            pre_commit=quarantine_pre_commit,
         )
         res["compact_strategy"] = strategy
         res["prebucketed"] = do_prebucket

@@ -511,3 +511,26 @@ def test_prebucketed_ingest_converges_and_bounds_files(spark, wal_path, tmp_path
             files = [n for n in os.listdir(os.path.join(ddir, e, b))
                      if n.endswith(".parquet")]
             assert 1 <= len(files) <= n_salts, (e, b, len(files))
+
+
+def test_missing_committed_segment_fails_loudly(spark, tmp_path):
+    """ADVICE r3: a segment file the COMMITTED snapshot references that is
+    gone from disk must raise — silently skipping it would drop
+    manifest/metrics history and mask exactly the corruption the
+    segment-list commit protocol exists to surface."""
+    import os
+
+    import pytest
+
+    wal = str(tmp_path / "wal")
+    write_wal(generate_change_events(spark, 400, n_keys=50, epoch_size=100), wal)
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal, tbl, n_buckets=4, maintain_every=None)
+    t = HashMergeTable(spark, tbl)
+    t.compact_sidecars()
+
+    mdir = os.path.join(tbl, "manifest")
+    seg = next(n for n in os.listdir(mdir) if n.startswith("seg-"))
+    os.remove(os.path.join(mdir, seg))
+    with pytest.raises(FileNotFoundError, match="committed snapshot"):
+        t.manifest().collect()

@@ -232,3 +232,102 @@ def test_fake_paths_have_no_iterrows():
 
     src = inspect.getsource(multimodal)
     assert ".iterrows(" not in src and ".itertuples(" not in src
+
+
+def test_malformed_magic_matching_payloads_raise_decode_error():
+    """ADVICE r3: payloads that match a supported magic but are malformed
+    (truncated fmt chunk, data not a multiple of channels×2, negative
+    width) must surface as DecodeError (a NotImplementedError) with
+    context — never a raw struct.error/ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from read_comp_data_pipeline_spark.operators.multimodal import (
+        DecodeError,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # WAV with a truncated fmt chunk: the chunk claims 16 body bytes but
+    # the buffer ends right after the chunk header (JUNK filler keeps the
+    # total ≥ 44 so the magic gate passes)
+    truncated = (
+        struct.pack("<4sI4s", b"RIFF", 36, b"WAVE")
+        + struct.pack("<4sI", b"JUNK", 16) + b"\x00" * 16
+        + struct.pack("<4sI", b"fmt ", 16)
+    )
+    assert len(truncated) == 44
+    with pytest.raises(DecodeError, match="malformed WAV chunk"):
+        decode_wav(truncated)
+
+    # WAV whose data length is not a multiple of channels×2
+    good = bytearray(encode_wav(np.zeros((10, 2), dtype=np.int16)))
+    bad = bytes(good[:-3])  # chop mid-sample
+    # re-fix the data chunk size so parsing reaches the reshape
+    data_len = len(bad) - 44
+    bad = bad[:40] + struct.pack("<I", data_len) + bad[44:]
+    with pytest.raises(DecodeError, match="inconsistent WAV data"):
+        decode_wav(bad)
+
+    # BMP with a negative width
+    good_bmp = bytearray(encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    good_bmp[18:22] = struct.pack("<i", -4)
+    with pytest.raises(DecodeError, match="malformed BMP dimensions"):
+        decode_bmp(bytes(good_bmp))
+
+    # BMP truncated below its declared pixel size
+    full = encode_bmp(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(DecodeError, match="truncated/inconsistent BMP"):
+        decode_bmp(full[: 54 + 10])
+
+    # DecodeError flows through the documented rejection path
+    assert issubclass(DecodeError, NotImplementedError)
+
+
+def test_ppm_pgm_roundtrip_exact():
+    """PNM codecs (the formats a codec-free container can actually
+    produce): encode → decode is byte-exact, comments in headers parse,
+    and the feature dispatch recognizes both magics."""
+    import numpy as np
+    import pytest
+
+    from read_comp_data_pipeline_spark.operators.multimodal import (
+        DecodeError,
+        decode_pgm,
+        decode_ppm,
+        encode_pgm,
+        encode_ppm,
+        real_feature,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    assert np.array_equal(decode_pgm(encode_pgm(gray)), gray)
+
+    # header comments are legal PNM
+    commented = b"P5\n# made by hand\n5 7\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_pgm(commented), gray)
+
+    # feature dispatch: pooled grayscale of the PPM equals pooling the
+    # same pixels directly
+    feat = real_feature(encode_ppm(rgb), dim=4)
+    expect = rgb.mean(axis=2).ravel() / 255.0
+    chunks = np.array_split(expect, 4)
+    assert feat == pytest.approx([float(c.mean()) for c in chunks])
+    assert real_feature(encode_pgm(gray), dim=4) is not None
+
+    # malformed variants fail cleanly
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P3\n2 2\n255\n0 0 0")          # plain-text PPM
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)  # 16-bit
+    with pytest.raises(DecodeError):
+        decode_ppm(b"P6\n4 4\n255\n" + b"\0" * 10)  # truncated raster
+    with pytest.raises(DecodeError):
+        decode_pgm(b"P5\nnot numbers\n255\n")       # garbage header

@@ -198,3 +198,69 @@ def test_stream_checkpoint_loss_is_lossless(spark, tmp_path):
         | F.col("exp_sha").isNull()
         | (F.col("content_sha") != F.col("exp_sha"))
     ).count() == 0
+
+
+def test_clean_epoch_writes_no_quarantine_dir(spark, tmp_path):
+    """VERDICT r3 #3: with quarantine on and a clean stream, NO per-epoch
+    quarantine write runs — the bad-count rides the merge action via
+    Observation and a clean epoch leaves no quarantine/e* dir at all."""
+    import os
+
+    from pyspark.sql import types as T
+
+    rows = [
+        (0, 0, _ts(0), "I", "r1", "a.py", "c0", "py", "alpha"),
+        (1, 0, _ts(1), "U", "r1", "a.py", "c1", "py", "alpha v1"),
+        (2, 1, _ts(2), "I", "r1", "b.py", "c2", "py", "beta"),
+        (3, 2, _ts(3), "U", "r1", "b.py", "c3", "py", "beta v1"),
+    ]
+    nullable = T.StructType([T.StructField(f.name, f.dataType, True) for f in WAL_SCHEMA.fields])
+    wal_path = str(tmp_path / "wal")
+    spark.createDataFrame(rows, nullable).write.partitionBy("epoch").parquet(wal_path)
+
+    tbl_path = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=2, quarantine=True)
+    final = HashMergeTable(spark, tbl_path).read()
+    got = {(r["repo"], r["path"]): r["content"] for r in final.collect()}
+    assert got == {("r1", "a.py"): "alpha v1", ("r1", "b.py"): "beta v1"}
+    assert not os.path.isdir(os.path.join(tbl_path, "quarantine"))
+
+
+def test_dirty_then_clean_epoch_still_clears_pending(spark, tmp_path):
+    """A dirty epoch writes its dir; the NEXT epoch consumes the pendings
+    and must write its own (possibly empty) dir so retries don't re-drive
+    forever — the clean-skip only applies when nothing was pending."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.streaming.ingest import default_validator
+
+    rows = [
+        (0, 0, _ts(0), "I", "r1", "ok.py", "c0", "py", "fine"),
+        (1, 0, _ts(1), "I", "r1", "flaky.py", "c1", "py", "flaky content"),
+        (2, 1, _ts(2), "U", "r1", "ok.py", "c2", "py", "fine v1"),
+        (3, 2, _ts(3), "U", "r1", "ok.py", "c3", "py", "fine v2"),
+    ]
+    nullable = T.StructType([T.StructField(f.name, f.dataType, True) for f in WAL_SCHEMA.fields])
+    wal_path = str(tmp_path / "wal")
+    spark.createDataFrame(rows, nullable).write.partitionBy("epoch").parquet(wal_path)
+
+    def validator(df):
+        return F.when(
+            (F.col("path") == "flaky.py") & (F.col("_attempts") < 1),
+            F.lit("transient"),
+        ).otherwise(default_validator(df))
+
+    tbl_path = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl_path, n_buckets=2, quarantine=True, validator=validator)
+    final = HashMergeTable(spark, tbl_path).read()
+    got = {r["path"]: r["content"] for r in final.collect()}
+    assert got == {"ok.py": "fine v2", "flaky.py": "flaky content"}
+
+    qdir = os.path.join(tbl_path, "quarantine")
+    dirs = sorted(os.listdir(qdir))
+    # epoch 0 dirty (flaky pending); epoch 1 consumed it → wrote its dir
+    # (clearing pending); epoch 2 had nothing pending and was clean → no dir
+    assert dirs == ["e0000000000", "e0000000001"]
+    assert not os.path.isdir(os.path.join(qdir, "e0000000001", "status=pending"))
