@@ -36,7 +36,8 @@ def _fast_tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000_000) -> None:
+def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000_000,
+           shuffle_partitions: int = 64) -> None:
     """``compact_threshold`` is raised well above the per-epoch event count
     here: the guard exists to keep the broadcast-semi key set inside driver
     memory, and the bench driver (16g default; raise via
@@ -51,7 +52,7 @@ def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000
     # parallelism knob — at 8 cores, 8 partitions of a 1.6GB epoch would
     # spill and confound the measurement)
     spark = get_spark(
-        f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=64,
+        f"scale{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle_partitions,
         extra_conf={"spark.local.dir": _fast_tmp("spark_local_")},
     )
     tbl = _fast_tmp(f"scale_tbl_{cpus}_")
@@ -133,10 +134,12 @@ def string_kernel(cpus: int, wal_path: str) -> None:
     print(json.dumps({"cpus": cpus, "string_kernel_secs": round(_t.monotonic() - t0, 1)}))
 
 
-def _run_worker(cpus: int, wal_path: str, mode: str, what: str = "--worker") -> dict:
+def _run_worker(cpus: int, wal_path: str, mode: str, what: str = "--worker",
+                shuffle_partitions: int = 64) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, what, "--cpus", str(cpus),
-         "--wal", wal_path or "-", "--mode", mode],
+         "--wal", wal_path or "-", "--mode", mode,
+         "--shuffle-partitions", str(shuffle_partitions)],
         capture_output=True, text=True, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -167,10 +170,17 @@ def main() -> None:
     ap.add_argument("--string-kernel", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--wal")
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=64,
+        help="epoch-scaled partition count (64 fits 2M-event epochs; the "
+        "100M/50M configuration uses 128 — a data-volume knob held fixed "
+        "across parallelism levels)",
+    )
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.cpus, args.wal, args.mode)
+        worker(args.cpus, args.wal, args.mode,
+               shuffle_partitions=args.shuffle_partitions)
         return
     if args.kernel:
         cpu_kernel(args.cpus)
@@ -192,12 +202,16 @@ def main() -> None:
     )
     spark.stop()
 
+    levels = [int(x) for x in args.levels.split(",") if x.strip()]
     results: dict[int, dict] = {}
-    for cpus in (8, 32):
+    all_runs: list[dict] = []
+    for cpus in levels:
         best = None
         for _ in range(args.runs):
-            r = _run_worker(cpus, wal_path, args.mode)
+            r = _run_worker(cpus, wal_path, args.mode,
+                            shuffle_partitions=args.shuffle_partitions)
             print(r)
+            all_runs.append(r)
             if best is None or r["events_per_sec"] > best["events_per_sec"]:
                 best = r
         results[cpus] = best
@@ -205,23 +219,39 @@ def main() -> None:
     kernel = {}
     skern = {}
     if not args.skip_kernel:
-        for cpus in (8, 32):
+        for cpus in levels:
             kernel[cpus] = _run_worker(cpus, "-", args.mode, what="--kernel")
             print(kernel[cpus])
             skern[cpus] = _run_worker(cpus, wal_path, args.mode, what="--string-kernel")
             print(skern[cpus])
 
-    t8, t32 = results[8]["events_per_sec"], results[32]["events_per_sec"]
-    eff = (t32 / t8) / 4 if t8 > 0 else 0.0
     summary = {
         "mode": args.mode,
         "events": args.events,
         "epoch_size": args.epoch_size,
-        "local8_events_per_sec": t8,
-        "local32_events_per_sec": t32,
-        "speedup_8_to_32": round(t32 / t8, 3),
-        "scaling_efficiency": round(eff, 3),
+        "shuffle_partitions": args.shuffle_partitions,
+        "levels_events_per_sec": {
+            str(c): results[c]["events_per_sec"] for c in levels
+        },
+        "pairwise_efficiency": {
+            f"{a}->{b}": round(
+                (results[b]["events_per_sec"] / results[a]["events_per_sec"])
+                / (b / a), 3)
+            for i, a in enumerate(levels) for b in levels[i + 1:]
+            if results[a]["events_per_sec"] > 0
+        },
     }
+    if 8 in results and 32 in results:
+        t8, t32 = results[8]["events_per_sec"], results[32]["events_per_sec"]
+        eff = (t32 / t8) / 4 if t8 > 0 else 0.0
+        summary.update({
+            "local8_events_per_sec": t8,
+            "local32_events_per_sec": t32,
+            "speedup_8_to_32": round(t32 / t8, 3),
+            "scaling_efficiency": round(eff, 3),
+        })
+    else:
+        eff = 0.0
     if kernel and 8 in kernel and 32 in kernel:
         k_speed = kernel[8]["kernel_secs"] / kernel[32]["kernel_secs"]
         summary["host_kernel_speedup"] = round(k_speed, 3)
@@ -235,7 +265,10 @@ def main() -> None:
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_runs.jsonl", "a") as f:
-        f.write(json.dumps({"summary": summary, "levels": results}) + "\n")
+        # all_runs = every raw run (not just the best): the run-to-run
+        # spread on this shared host is evidence, not noise to discard
+        f.write(json.dumps({"summary": summary, "levels": results,
+                            "all_runs": all_runs}) + "\n")
     print("appended BENCH/scaling_runs.jsonl")
     if args.write_md and 8 in results and 32 in results:
         write_baseline_md(summary, results)
