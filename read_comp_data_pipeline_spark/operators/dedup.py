@@ -318,6 +318,94 @@ def minhash_near_dups(
     return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment over a near-dup edge set: every node gets
+    ``cluster_id`` = min node id of its connected component (singletons
+    keep their own id). This is the step that turns pairwise near-dup
+    edges into actionable dedup groups (keep ``cluster_id``, drop the
+    rest).
+
+    Spark-first iterative min-label propagation:
+
+    * one round = one equi-join (neighbor min-label, keyed on node id) +
+      one map-side-combinable min-aggregate — no cross products;
+    * rounds needed = graph diameter. The guarded near-dup family
+      (:func:`collapse_exact` star edges + rep-level edges) produces
+      star-of-stars topologies with diameter ≤ ~4, so this converges in
+      a handful of rounds even for million-copy clusters; for adversarial
+      long-chain graphs the large-star/small-star variant would cap
+      rounds at O(log n) — not needed for dedup graphs;
+    * per-round lineage is truncated with an eager localCheckpoint
+      (iterative plans otherwise stack joins into an exponential tree);
+    * convergence is detected with a single scalar action per round:
+      labels only ever decrease, so the label sum is strictly monotone
+      until fixpoint — no per-row diff join.
+    """
+    a, b = "_cc_a", "_cc_b"
+    bidir = edges.select(
+        F.col(edges.columns[0]).alias(a), F.col(edges.columns[1]).alias(b)
+    ).unionByName(
+        edges.select(
+            F.col(edges.columns[1]).alias(a), F.col(edges.columns[0]).alias(b)
+        )
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        nbr = (
+            bidir.join(labels, bidir[b] == labels["id"])
+            .groupBy(F.col(a).alias("id"))
+            .agg(F.min("label").alias("_nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def connected_components_sql(
+    edges_cte: str, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB rendering of :func:`connected_components`: exact transitive
+    closure via a recursive CTE (UNION-deduped reachability), then
+    min-reachable-id per node. Quadratic in cluster size — an oracle
+    formulation, not the engine path."""
+    return f"""
+    WITH RECURSIVE eb AS (
+      SELECT id_a AS a, id_b AS b FROM ({edges_cte})
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM ({edges_cte})
+    ),
+    reach(src, dst) AS (
+      SELECT {id_col}, {id_col} FROM {table}
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN eb e ON r.dst = e.a
+    )
+    SELECT src AS {id_col}, min(dst) AS cluster_id FROM reach GROUP BY src
+    """
+
+
 def _bit_weight(b: int) -> int:
     """2^b as a signed-64 term: bit 63 is the sign bit, so its weight is
     -2^63 (two's complement) — keeps the fingerprint inside BIGINT range

@@ -860,9 +860,7 @@ from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
 )
 
 
-@_q(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_LSH_ORACLE = f"""
     WITH {collapse_exact_sql()},
     {_shingle_cte(source="repdocs")},
     sig AS (SELECT id, {_MINHASH_AGGS_SQL} FROM sh GROUP BY id),
@@ -893,8 +891,10 @@ from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
     WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.4
     UNION ALL
     SELECT id_a, id_b, 1.0 AS jaccard FROM exact_edges
-    """,
-)
+    """
+
+
+@_q("dedup_minhash_lsh", _MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup pipeline with exact-Jaccard
     verification (≥0.4). Candidate pairs come only from band-bucket
@@ -915,6 +915,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near.unionByName(
         exact_edges.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
+
+
+from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    connected_components_sql,
+)
+
+
+@_q(
+    "dedup_clusters",
+    connected_components_sql(_MINHASH_LSH_ORACLE, id_col="doc_id", table="documents"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT: connected components over the guarded
+    MinHash-LSH edge set — every document labeled with the min doc_id of
+    its component (singletons keep their own id). The step that turns
+    pairwise near-dup evidence into actionable dedup groups (keep one
+    row per cluster_id). Engine: iterative min-label propagation, one
+    keyed join + map-side min per round, rounds = graph diameter (≤ ~4
+    for the star-of-stars graphs the guard emits). Oracle: exact
+    recursive-CTE transitive closure in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    edges = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges, d, id_col="doc_id")
 
 
 from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
@@ -1535,6 +1559,45 @@ def asof_join_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the attached time goes out as epoch-micros BIGINT: a nullable
     # timestamp column round-trips with engine-dependent datetime units
     # (ns vs us) that NaT-containing comparisons trip over
+    return out.select(
+        "event_id", "user_id", "event_type", "value_asof",
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("ts_asof_us"),
+    )
+
+
+@_q(
+    "asof_join_prev_purchase_sliced",
+    """
+    WITH refs AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           r.value AS value_asof,
+           CAST(epoch_us(r.ts) AS BIGINT) AS ts_asof_us
+    FROM events e ASOF LEFT JOIN refs r
+      ON e.user_id = r.user_id AND e.ts > r.ts
+    """,
+)
+def asof_join_prev_purchase_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-BOUNDED as-of (``slice_secs``): identical semantics and
+    oracle as asof_join_prev_purchase, but the window re-keys on
+    (user, 1-hour time slice) with a per-slice carry-in row, so a hot key
+    (one user holding 10^8 events) no longer serializes into a single
+    task — the per-task sort bound becomes rows-per-(key, slice). Same
+    DuckDB ASOF oracle, so the driver gate proves the sliced rewrite is
+    value-exact, not just test-exact."""
+    from read_comp_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    refs = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    probe = ev.select("event_id", "user_id", "event_type", "ts")
+    out = asof_join(probe, refs, key_col="user_id", time_col="ts",
+                    payload_cols=["value"], strict=True, slice_secs=3600)
     return out.select(
         "event_id", "user_id", "event_type", "value_asof",
         F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("ts_asof_us"),

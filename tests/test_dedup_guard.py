@@ -167,3 +167,46 @@ def test_guard_noop_on_duplicate_free_corpus(spark, sf_dir):
     got = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in a.collect())
     exp = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in b.collect())
     assert got == exp
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Exact components on a planted graph: a 4-chain (diameter forces
+    multiple propagation rounds), a triangle, an isolated pair, and
+    singletons."""
+    from read_comp_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: min 1
+         (10, 11), (11, 12), (10, 12),  # triangle: min 10
+         (20, 21)],                     # pair: min 20
+        "id_a int, id_b int",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31]], "doc_id int"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components(edges, nodes, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 30: 30, 31: 31}
+
+
+def test_connected_components_on_guarded_star_edges(spark, planted):
+    """End-to-end: guarded near-dup edges from the 200-copy planted
+    corpus collapse to ONE cluster (keeper 0) covering copies + variants;
+    unrelated docs stay singletons. Converges in a handful of rounds on
+    the star topology."""
+    from read_comp_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+
+    edges = minhash_near_dups(planted, "text", "doc_id", threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    nodes = planted.select("doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components(edges, nodes, "doc_id").collect()}
+    for i in range(N_COPIES + 3):
+        assert got[i] == 0, (i, got[i])
+    for i in range(40):
+        assert got[300 + i] == 300 + i
