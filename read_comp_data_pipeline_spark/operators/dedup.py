@@ -517,6 +517,8 @@ def simhash_hamming_pairs(
     bits: int = 64,
     max_hamming: int = 2,
     collapse: bool = True,
+    bucket_cap: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ k via bit-block banding —
     the same banding trick as MinHash-LSH, applied to fingerprint bits:
@@ -538,6 +540,12 @@ def simhash_hamming_pairs(
     m(m-1)/2 pairs from every bit-block bucket; connected components over
     the union recover the same clusters. ``collapse=False`` restores raw
     all-pairs output.
+
+    ``bucket_cap``/``observation``: secondary guard for clusters of
+    DISTINCT-but-close fingerprints that still flood a bit-block bucket
+    (same contract as :func:`lsh_bucket_pairs`) — each (block_no,
+    block_val) bucket keeps the ``bucket_cap`` smallest ids; dropped-row
+    count reports as ``capped_drop_rows`` on the Observation.
     """
     s = simhash(df, text_col, id_col, bits)
     if collapse:
@@ -552,12 +560,18 @@ def simhash_hamming_pairs(
                 F.lit(0).cast("int").alias("hamming"),
             )
         )
-        core = _simhash_banded_pairs(reps, bits, max_hamming)
+        core = _simhash_banded_pairs(reps, bits, max_hamming, bucket_cap, observation)
         return core.unionByName(exact_edges)
-    return _simhash_banded_pairs(s, bits, max_hamming)
+    return _simhash_banded_pairs(s, bits, max_hamming, bucket_cap, observation)
 
 
-def _simhash_banded_pairs(s: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+def _simhash_banded_pairs(
+    s: DataFrame,
+    bits: int,
+    max_hamming: int,
+    bucket_cap: int | None = None,
+    observation=None,
+) -> DataFrame:
     """Bit-block banding + popcount verify over an (id, simhash) relation."""
     blocks = _hamming_blocks(bits, max_hamming)
     stacked = s.select(
@@ -575,6 +589,17 @@ def _simhash_banded_pairs(s: DataFrame, bits: int, max_hamming: int) -> DataFram
             ])
         ).alias("b"),
     ).select("id", "simhash", "b.block_no", "b.block_val")
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block_no", "block_val").orderBy("id")
+        ranked = stacked.withColumn("_rn", F.row_number().over(w))
+        if observation is not None:
+            ranked = ranked.observe(
+                observation,
+                F.sum((F.col("_rn") > bucket_cap).cast("long")).alias("capped_drop_rows"),
+            )
+        stacked = ranked.where(F.col("_rn") <= bucket_cap).drop("_rn")
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, on=["block_no", "block_val"])

@@ -319,6 +319,8 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collapse: bool = True,
+    bucket_cap: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH bucket — the 100 TB path
     :func:`embedding_near_dup_pairs` documents: the self-join shuffles on
@@ -333,6 +335,12 @@ def embedding_near_dup_lsh(
     (min id) before bucketing; output unions the rep-level near-dup pairs
     with (keeper → member, cosine = 1.0) star edges — linear per cluster,
     same connected components.
+
+    ``bucket_cap``/``observation``: secondary guard for clusters of
+    distinct-but-near-identical vectors that agree on every plane (same
+    contract as dedup.lsh_bucket_pairs): each bucket keeps only the
+    ``bucket_cap`` smallest ids; dropped-row count reports as
+    ``capped_drop_rows`` on the Observation.
     """
     if collapse:
         grp = emb.groupBy(F.col(vec_col).alias("v")).agg(
@@ -350,12 +358,29 @@ def embedding_near_dup_lsh(
             )
         )
         core = embedding_near_dup_lsh(
-            reps, threshold, n_planes, dim, id_col, vec_col, collapse=False
+            reps, threshold, n_planes, dim, id_col, vec_col, collapse=False,
+            bucket_cap=bucket_cap, observation=observation,
         )
         return core.unionByName(exact_edges)
     sig = lsh_signature(F.col(vec_col), n_planes, dim)
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), sig.alias("bucket"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), sig.alias("bucket"))
+    bucketed = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("bucket")
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("bucket").orderBy("_id")
+        ranked = bucketed.withColumn("_rn", F.row_number().over(w))
+        if observation is not None:
+            ranked = ranked.observe(
+                observation,
+                F.sum((F.col("_rn") > bucket_cap).cast("long")).alias("capped_drop_rows"),
+            )
+        bucketed = ranked.where(F.col("_rn") <= bucket_cap).drop("_rn")
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "bucket"
+    )
     return (
         a.join(b, on="bucket")
         .where(F.col("id_a") < F.col("id_b"))

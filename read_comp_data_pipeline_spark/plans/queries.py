@@ -1522,6 +1522,42 @@ def quantile_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("lang", "n_docs", *ok)
 
 
+from read_comp_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    hash_split_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+
+@_q(
+    "train_val_split",
+    f"SELECT doc_id, lang, {hash_split_sql()} AS split FROM documents",
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by salted portable
+    hash of the doc id: stable across runs/cluster sizes/row order, and
+    incremental-ingest-safe (a doc's split never changes when other docs
+    arrive — the property randomSplit lacks). ZERO shuffles: the split is
+    a pure projection Catalyst folds into the scan. Value-exact oracle —
+    every single assignment is checked, not just the split counts."""
+    d = load(spark, sf_dir, "documents")
+    return hash_split(d).select("doc_id", "lang", "split")
+
+
+@_q(
+    "stratified_sample_by_lang",
+    stratified_sample_sql("lang", 20, select_cols="doc_id, lang"),
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample: rows ranked per stratum by
+    salted hash (reproducible random order), first 20 kept. One shuffle
+    keyed on the stratum; rank filter bounds any hot stratum's output.
+    Value-exact oracle (same hash, same tiebreak)."""
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", 20).select("doc_id", "lang", "sample_rank")
+
+
 @_q(
     "asof_join_prev_purchase",
     """

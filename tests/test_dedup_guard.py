@@ -210,3 +210,45 @@ def test_connected_components_on_guarded_star_edges(spark, planted):
         assert got[i] == 0, (i, got[i])
     for i in range(40):
         assert got[300 + i] == 300 + i
+
+
+def test_simhash_bucket_cap_and_observation(spark):
+    """Distinct-but-close fingerprints (not collapsible) are bounded by
+    the per-block bucket cap with an observable drop count."""
+    # 150 docs, one word mutated each → distinct simhashes clustered close
+    rows = [(i, _variant(i % 55, f"m{i}")) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = simhash_hamming_pairs(df, bits=64, max_hamming=2).count()
+    obs = Observation("sh_cap")
+    capped = simhash_hamming_pairs(
+        df, bits=64, max_hamming=2, bucket_cap=8, observation=obs
+    )
+    n = capped.count()
+    assert n <= uncapped
+    assert obs.get["capped_drop_rows"] >= 0  # observable without extra job
+
+
+def test_embedding_bucket_cap_bounds_pairs(spark):
+    """Near-identical (non-equal) vectors land in one plane bucket; the
+    cap bounds the self-join and reports drops."""
+    base = [float((i * 13) % 17) - 8.0 for i in range(16)]
+    rows = []
+    for i in range(100):
+        v = list(base)
+        v[i % 16] += 0.001 * (i + 1)  # tiny distinct perturbations
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    uncapped = embedding_near_dup_lsh(
+        emb, threshold=0.0, n_planes=6, dim=16, collapse=False
+    ).count()
+    assert uncapped == 100 * 99 // 2  # all in one bucket: the blowup
+
+    obs = Observation("emb_cap")
+    capped = embedding_near_dup_lsh(
+        emb, threshold=0.0, n_planes=6, dim=16, collapse=False,
+        bucket_cap=10, observation=obs,
+    ).count()
+    assert capped == 10 * 9 // 2
+    assert obs.get["capped_drop_rows"] == 90

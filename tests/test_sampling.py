@@ -1,0 +1,72 @@
+"""Deterministic sampling/split properties: order-independence,
+incremental-ingest stability, proportion accuracy, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+from read_comp_data_pipeline_spark.sources.tables import load
+
+
+def test_split_is_order_and_corpus_independent(spark, sf_dir):
+    """A document's split depends only on its own id: shuffling row order
+    or dropping half the corpus never moves a surviving doc's split —
+    the incremental-ingest property randomSplit lacks."""
+    d = load(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in hash_split(d).select("doc_id", "split").collect()}
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d.orderBy(F.rand(seed=1))).select("doc_id", "split").collect()
+    }
+    assert full == shuffled
+    half = d.where(F.col("doc_id") % 2 == 0)
+    part = {r["doc_id"]: r["split"] for r in hash_split(half).select("doc_id", "split").collect()}
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_split_proportions_and_salt_versioning(spark):
+    n = 20_000
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(d).groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.90) < 0.01
+    assert abs(counts["val"] / n - 0.05) < 0.005
+    assert abs(counts["test"] / n - 0.05) < 0.005
+    # a new salt re-deals the assignment (deterministically different)
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, salt="v1").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d, salt="v2").collect()}
+    assert a != b
+    assert a == {r["doc_id"]: r["split"] for r in hash_split(d, salt="v1").collect()}
+
+
+def test_split_adds_no_shuffle(spark, sf_dir):
+    """The split is a pure projection: no Exchange in the plan."""
+    import contextlib
+    import io
+
+    d = load(spark, sf_dir, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hash_split(d).select("doc_id", "split").explain()
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_stratified_sample_exact_and_stable(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    s1 = {(r["doc_id"], r["sample_rank"]) for r in
+          stratified_sample(d, "lang", 10).select("doc_id", "sample_rank").collect()}
+    s2 = {(r["doc_id"], r["sample_rank"]) for r in
+          stratified_sample(d.orderBy(F.rand(seed=3)), "lang", 10)
+          .select("doc_id", "sample_rank").collect()}
+    assert s1 == s2
+    per_lang = (
+        stratified_sample(d, "lang", 10).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r["n"] == 10 for r in per_lang)  # every stratum has ≥10 docs here
