@@ -1559,6 +1559,63 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vocab_top_terms",
+    r"""
+    SELECT term, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk FROM (
+      SELECT term, n, row_number() OVER (ORDER BY n DESC, term ASC) AS rk
+      FROM (
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents
+        ) GROUP BY term
+      )
+    ) WHERE rk <= 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 lowercase word terms by frequency.
+    Plan shape matters: the count is a map-side-combinable hash aggregate
+    over the exploded terms, and the top-k is orderBy+limit — Spark's
+    distributed TakeOrderedAndProject — NOT a global single-partition
+    window (which would sort the entire vocabulary in one task at corpus
+    scale). The rank window runs over the 100 surviving rows only."""
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)).alias("term")
+    )
+    top = (
+        terms.groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+from read_comp_data_pipeline_spark.operators.packing import (  # noqa: E402
+    pack_sequences,
+    pack_sequences_sql,
+)
+
+
+@_q(
+    "pack_sequences_by_lang",
+    pack_sequences_sql(budget=2048, strata_col="lang", n_shards=2),
+)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): every document's (shard,
+    pack_id, pack_offset) in the sharded per-language token stream with a
+    2048-token budget — the assignment step of LLM pretraining batch
+    construction. Sharded windows (portable-hash shard keys) keep the
+    per-stream sort parallel at corpus scale; assignment is value-exact
+    against the DuckDB oracle (same hash, same token regex, same running
+    sum)."""
+    d = load(spark, sf_dir, "documents")
+    out = pack_sequences(d, budget=2048, strata_col="lang", n_shards=2)
+    return out.select("doc_id", "lang", "shard", "n_tokens", "pack_id", "pack_offset")
+
+
+@_q(
     "asof_join_prev_purchase",
     """
     WITH refs AS (

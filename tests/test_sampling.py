@@ -70,3 +70,26 @@ def test_stratified_sample_exact_and_stable(spark, sf_dir):
         stratified_sample(d, "lang", 10).groupBy("lang").agg(F.count("*").alias("n")).collect()
     )
     assert all(r["n"] == 10 for r in per_lang)  # every stratum has ≥10 docs here
+
+
+def test_pack_sequences_is_contiguous_and_exact(spark):
+    """Packing math: offsets are the exact running sum of same-shard
+    predecessors; docs straddle pack boundaries; single-shard stream
+    reproduces plain concat-and-chunk."""
+    from read_comp_data_pipeline_spark.operators.packing import pack_sequences
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(50)]  # 1..7 tokens each
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = pack_sequences(d, budget=10, n_shards=1).orderBy("doc_id").collect()
+    run = 0
+    for r in out:
+        assert r["pack_id"] == run // 10
+        assert r["pack_offset"] == run % 10
+        run += r["n_tokens"]
+    # sharded: each shard is an independent stream with its own running sum
+    out2 = pack_sequences(d, budget=10, n_shards=3).collect()
+    streams = {}
+    for r in sorted(out2, key=lambda r: r["doc_id"]):
+        prev = streams.get(r["shard"], 0)
+        assert r["pack_offset"] == prev % 10 and r["pack_id"] == prev // 10
+        streams[r["shard"]] = prev + r["n_tokens"]
