@@ -49,6 +49,12 @@ HEADLINE = [
     "page_metadata_full",
     "p5_keyword_classifier",
     "quality_scores",
+    # round-4 additions (cheap, broad-coverage entries)
+    "train_val_split",
+    "stratified_sample_by_lang",
+    "pack_sequences_by_lang",
+    "vocab_top_terms",
+    "quantile_profile_by_lang",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS

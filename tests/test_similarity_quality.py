@@ -275,3 +275,36 @@ def test_simhash64_desaturates_candidate_set(spark, sf_dir):
     n64 = simhash_hamming_pairs(docs, bits=64, max_hamming=2).count()
     assert n64 * 50 <= n16, (n16, n64)  # ≥ 50× drop on the same corpus
     assert n64 >= 0  # sanity; exactness is covered by the oracle entry
+
+
+def test_ivf_cells_partition_prune_on_disk(spark, sf_dir, tmp_path):
+    """The IVF scale claim in ivf_ann_topk's docstring, made real: the
+    corpus written bucketed by cell, a probe reading only its cells via
+    partition pruning — PartitionFilters in the plan, and only the probed
+    cells' rows scanned."""
+    import contextlib
+    import io
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    data = emb.withColumn(
+        "_feat", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=8, seed=42, featuresCol="_feat", predictionCol="cell").fit(data)
+    assigned = model.transform(data).select("vec_id", "embedding", "cell")
+    path = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    probe_cells = [1, 3]
+    scan = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    expect = assigned.where(F.col("cell").isin(probe_cells)).count()
+    assert scan.count() == expect
+    assert scan.count() < assigned.count()  # pruning is real, not a full scan
