@@ -208,3 +208,19 @@ def test_compaction_hash_semi_broadcasts_longs_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "xxhash64" in plan
     assert "Window" not in plan and "SortAggregate" not in plan
+
+
+def test_vocab_topk_is_distributed_take_ordered(spark, sf_dir):
+    """vocab_top_terms' top-k must compile to TakeOrderedAndProject (a
+    distributed per-partition top-k + merge), never a global window that
+    sorts the whole vocabulary in one task."""
+    import contextlib
+    import io
+
+    from read_comp_data_pipeline_spark.plans.queries import vocab_top_terms
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocab_top_terms(spark, sf_dir).explain()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
