@@ -169,6 +169,28 @@ def minhash_sql_aggs(k: int = 16) -> str:
     return ", ".join(parts)
 
 
+def band_stack(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band_no, band_hash) — each signature's banded LSH keys, one
+    row per band. The persisted half of the incremental signature store
+    (:func:`build_signature_store`) and the join key relation
+    :func:`lsh_bucket_pairs` self-joins on."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + i}").cast("string") for i in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws(",", *cols)).alias(f"band{b}"))
+    banded = sig.select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select("id", "bd.band_no", "bd.band_hash")
+
+
 def lsh_bucket_pairs(
     sig: DataFrame,
     k: int = 16,
@@ -196,21 +218,7 @@ def lsh_bucket_pairs(
     ``observation`` (a ``pyspark.sql.Observation``) as ``capped_drop_rows``
     when provided — no extra job, the metric rides the main action.
     """
-    rows_per_band = k // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + i}").cast("string") for i in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws(",", *cols)).alias(f"band{b}"))
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bd"),
-    ).select("id", "bd.band_no", "bd.band_hash")
+    stacked = band_stack(sig, k, bands)
     if bucket_cap is not None:
         from pyspark.sql import Window
 
@@ -342,9 +350,14 @@ def connected_components(
       rounds at O(log n) — not needed for dedup graphs;
     * per-round lineage is truncated with an eager localCheckpoint
       (iterative plans otherwise stack joins into an exponential tree);
-    * convergence is detected with a single scalar action per round:
-      labels only ever decrease, so the label sum is strictly monotone
-      until fixpoint — no per-row diff join.
+    * convergence is TYPE-AGNOSTIC: a round carries a ``_chg`` boolean
+      (did any neighbor offer a strictly smaller label?) through the
+      checkpoint, and the loop stops when no row changed. Works for
+      numeric AND string/UUID ids (labels only ever decrease in the
+      column's natural ordering); the previous label-sum signal crashed
+      under ANSI on non-numeric ids (CAST_INVALID_INPUT) or silently
+      converged after one round on non-ANSI configs. The change-count
+      scan runs over the just-checkpointed rows — no join recompute.
     """
     a, b = "_cc_a", "_cc_b"
     bidir = edges.select(
@@ -356,31 +369,27 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
     for _ in range(max_iter):
         nbr = (
             bidir.join(labels, bidir[b] == labels["id"])
             .groupBy(F.col(a).alias("id"))
             .agg(F.min("label").alias("_nbr_label"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr, on="id", how="left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("_nbr_label"), F.col("label"))
                 ).alias("label"),
+                # NULL _nbr_label (no neighbors) → NULL → filtered out below
+                (F.col("_nbr_label") < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        labels = stepped.drop("_chg")
+        if stepped.where(F.col("_chg")).count() == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -404,6 +413,208 @@ def connected_components_sql(
     )
     SELECT src AS {id_col}, min(dst) AS cluster_id FROM reach GROUP BY src
     """
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# Incremental (corpus-vs-delta) near-dup — work ∝ delta, not corpus
+# ═══════════════════════════════════════════════════════════════════════════
+
+def build_signature_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> None:
+    """Persist the dedup signature store for a corpus: everything
+    :func:`incremental_near_dups` needs to process a NEW epoch's documents
+    without ever rescanning corpus text. Five thin parquet relations under
+    ``path`` (in production: Iceberg tables MERGEd per epoch):
+
+    * ``groups``      (content_hash, keeper_id)        — the exact seen-set
+    * ``exact_edges`` (content_hash, id_a, id_b)       — keeper→member stars
+      (duplicate groups only; singletons contribute nothing)
+    * ``bands``       (id, band_no, band_hash)         — reps' LSH keys
+    * ``shingles``    (id, shingle)                    — reps' n-gram sets
+      (needed so cross-epoch candidate pairs get the SAME exact-Jaccard
+      verification the batch pipeline applies — the one corpus-sized
+      relation; a system willing to accept signature-estimate
+      verification could drop it)
+    * ``edges``       (id_a, id_b, jaccard)            — verified near-dup
+      edges among reps (the already-known result)
+
+    Reference analogue: the crawl's persisted seen-set makes per-page work
+    independent of corpus size (``/root/reference/search_scrape.py:330``,
+    ``:1048``); this is the content-level generalization.
+    """
+    reps, _ = collapse_exact(df, text_col, id_col)
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(F.min("id").alias("keeper_id"))
+    groups.write.mode("overwrite").parquet(f"{path}/groups")
+    exact_edges = (
+        hashed.join(groups, on="content_hash")
+        .where(F.col("id") != F.col("keeper_id"))
+        .select("content_hash", F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    exact_edges.write.mode("overwrite").parquet(f"{path}/exact_edges")
+    sh = shingles(reps, text_col, id_col, n)
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    spark = df.sparkSession
+    sh_r = spark.read.parquet(f"{path}/shingles")  # reuse, don't re-shingle
+    sig = minhash_signatures(sh_r, k)
+    band_stack(sig, k, bands).write.mode("overwrite").parquet(f"{path}/bands")
+    bands_r = spark.read.parquet(f"{path}/bands")
+    pairs = (
+        bands_r.alias("a")
+        .join(bands_r.alias("b"), on=["band_no", "band_hash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    near = jaccard_on_pairs(pairs, sh_r).where(F.col("jaccard") >= threshold)
+    near.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def incremental_near_dups(
+    delta: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup edge set of (corpus ∪ delta), computed by banding ONLY the
+    delta against a persisted :func:`build_signature_store` — value-exact
+    equal to running :func:`minhash_near_dups` on the full union, while
+    shingling/signing/verifying work is proportional to the delta (the
+    per-epoch ingest shape: at 100 TB the corpus is never re-read — its
+    TEXT is not even in the store).
+
+    How batch equality is preserved:
+
+    * delta docs whose content_hash is already known join the existing
+      group — no banding (their rep's bands/shingles are already stored);
+      a delta id smaller than the stored keeper TAKES OVER the group and
+      every stored relation mentioning the old keeper is relabeled
+      (same text ⇒ identical bands/shingles ⇒ only the label changes);
+    * genuinely new content is collapsed within the delta, banded, and
+      its band keys joined against the stored band relation (corpus side)
+      and itself (delta side); candidates get the same exact-Jaccard
+      verification, reading shingles from the store — never corpus text;
+    * stored rep-rep edges pass through (relabeled); exact star edges are
+      rebuilt only for groups the delta touched, passed through otherwise.
+
+    All delta-derived lookup sides (touched groups, relabel map) are
+    broadcast — they are epoch-bounded, so the store relations are never
+    shuffled. In production the store would additionally be bucketed by
+    band_hash so the candidate join prunes store files; the plan contract
+    tested here is the scan-level one: no scan of corpus text.
+    """
+    spark = delta.sparkSession
+    groups_s = spark.read.parquet(f"{store_path}/groups")
+    exact_s = spark.read.parquet(f"{store_path}/exact_edges")
+    bands_s = spark.read.parquet(f"{store_path}/bands")
+    sh_s = spark.read.parquet(f"{store_path}/shingles")
+    edges_s = spark.read.parquet(f"{store_path}/edges")
+
+    d = delta.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    # corpus-side seen-set lookup: groups is the CORPUS-sized relation, so
+    # it is never broadcast — a thin (hash, keeper) equi-join; in production
+    # both sides bucket on content_hash so even the shuffle disappears
+    dj = d.join(groups_s, on="content_hash", how="left")
+    known = dj.where(F.col("keeper_id").isNotNull()).localCheckpoint(eager=True)
+    new = dj.where(F.col("keeper_id").isNull()).drop("keeper_id").localCheckpoint(eager=True)
+
+    # ── known hashes: group updates + possible keeper takeover ──────────
+    kagg = known.groupBy("content_hash").agg(F.min("id").alias("_delta_min"))
+    touched = (
+        groups_s.join(F.broadcast(kagg), on="content_hash")
+        .withColumn("new_keeper", F.least("keeper_id", "_delta_min"))
+        .localCheckpoint(eager=True)  # reused 3×: relabel, rebuild, anti keys
+    )
+    relabel = touched.where(F.col("new_keeper") != F.col("keeper_id")).select(
+        F.col("keeper_id").alias("_old"), F.col("new_keeper").alias("_new")
+    )
+
+    # exact star edges: untouched groups pass through; touched rebuilt
+    untouched_exact = exact_s.join(
+        F.broadcast(touched.select("content_hash")), on="content_hash", how="left_anti"
+    ).select("id_a", "id_b")
+    members = (
+        touched.select("content_hash", F.col("keeper_id").alias("m"))
+        .unionByName(
+            exact_s.join(
+                F.broadcast(touched.select("content_hash")), on="content_hash"
+            ).select("content_hash", F.col("id_b").alias("m"))
+        )
+        .unionByName(known.select("content_hash", F.col("id").alias("m")))
+    )
+    touched_exact = (
+        members.join(F.broadcast(touched.select("content_hash", "new_keeper")), on="content_hash")
+        .where(F.col("m") != F.col("new_keeper"))
+        .select(F.col("new_keeper").alias("id_a"), F.col("m").alias("id_b"))
+    )
+
+    # ── new hashes: collapse within the delta, band, verify ─────────────
+    new_groups = new.groupBy("content_hash").agg(
+        F.min("id").alias("id"), F.min("text").alias("text")
+    )
+    new_exact = (
+        new.join(F.broadcast(new_groups.select("content_hash", F.col("id").alias("_k"))),
+                 on="content_hash")
+        .where(F.col("id") != F.col("_k"))
+        .select(F.col("_k").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    delta_sh = shingles(new_groups, "text", "id", n).localCheckpoint(eager=True)
+    delta_bands = band_stack(minhash_signatures(delta_sh, k), k, bands)
+    cand_cross = delta_bands.alias("dl").join(
+        bands_s.alias("st"), on=["band_no", "band_hash"]
+    ).select(F.col("dl.id").alias("x"), F.col("st.id").alias("y"))
+    cand_within = (
+        delta_bands.alias("p").join(delta_bands.alias("q"), on=["band_no", "band_hash"])
+        .where(F.col("p.id") < F.col("q.id"))
+        .select(F.col("p.id").alias("x"), F.col("q.id").alias("y"))
+    )
+    pairs = (
+        cand_cross.unionByName(cand_within)
+        .select(F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b"))
+        .distinct()
+    )
+    near_new = jaccard_on_pairs(pairs, sh_s.unionByName(delta_sh)).where(
+        F.col("jaccard") >= threshold
+    )
+
+    # ── relabel takeover keepers in every rep-level edge ────────────────
+    def _relabel(e: DataFrame) -> DataFrame:
+        e = e.join(
+            F.broadcast(relabel.withColumnRenamed("_old", "id_a").withColumnRenamed("_new", "_na")),
+            on="id_a", how="left",
+        ).join(
+            F.broadcast(relabel.withColumnRenamed("_old", "id_b").withColumnRenamed("_new", "_nb")),
+            on="id_b", how="left",
+        )
+        a2 = F.coalesce(F.col("_na"), F.col("id_a"))
+        b2 = F.coalesce(F.col("_nb"), F.col("id_b"))
+        return e.select(
+            F.least(a2, b2).alias("id_a"), F.greatest(a2, b2).alias("id_b"), "jaccard"
+        )
+
+    near_all = _relabel(edges_s.unionByName(near_new))
+    exact_all = untouched_exact.unionByName(touched_exact).unionByName(new_exact)
+    return near_all.unionByName(
+        exact_all.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
 
 
 def _bit_weight(b: int) -> int:

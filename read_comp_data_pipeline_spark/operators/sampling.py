@@ -44,6 +44,18 @@ def _normalized_cuts(weights: dict[str, float]) -> list[tuple[str, int]]:
         acc += w / total
         cuts.append((name, int(round(acc * _BUCKETS))))
     cuts[-1] = (cuts[-1][0], _BUCKETS)  # close rounding gaps
+    # a weight < ~0.5/_BUCKETS of total rounds to a zero-width interval:
+    # the WHEN chain would still list the label but no hash bucket could
+    # ever reach it — fail loudly instead of silently emitting no rows
+    prev = 0
+    for name, hi in cuts:
+        if hi <= prev:
+            raise ValueError(
+                f"split '{name}' has zero hash-bucket coverage: weight "
+                f"{weights[name]!r} is below the 1/{_BUCKETS} assignment "
+                f"granularity after normalization"
+            )
+        prev = hi
     return cuts
 
 

@@ -238,8 +238,16 @@ def range_count_join(
     )
     # per-probe-ROW tag: fully-duplicate probe rows must each produce their
     # own output row (grouping on probe columns alone would collapse them
-    # into one row carrying the summed count)
-    p = probe.withColumn("_pid", F.monotonically_increasing_id()).select(
+    # into one row carrying the summed count). The tag is DETERMINISTIC —
+    # row_number over the duplicate group — not monotonically_increasing_id,
+    # whose values depend on partition layout and can be reassigned when a
+    # stage retry / speculative task recomputes the scan (ADVICE r4). The
+    # identical rows within a group are interchangeable, so which copy gets
+    # which number is irrelevant; the SET of tags is stable. Costs one
+    # keyed shuffle on the probe columns, which the groupBy below needed
+    # anyway (same key prefix).
+    dup_w = Window.partitionBy(*probe.columns).orderBy(F.lit(1))
+    p = probe.withColumn("_pid", F.row_number().over(dup_w)).select(
         "*",
         micros.alias("_pt"),
         F.explode(

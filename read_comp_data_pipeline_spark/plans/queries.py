@@ -1504,7 +1504,14 @@ def quantile_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — the bound covers the nearest-rank-vs-interpolation gap on the
     small per-lang groups of the test corpus (measured ≤7%); at profile
     scale (10^6+-row groups) accuracy=1000 pins rank error at n/1000 and
-    the observed error drops well under 1%."""
+    the observed error drops well under 1%.
+
+    NOTE (ADVICE r4): this REGISTERED query is the gated verdict variant —
+    it computes the exact F.percentile alongside the sketch so the verdict
+    can be formed, and the exact percentile buffers all group values. The
+    production profile pass is percentile_approx ALONE (drop the ``_e``
+    aggregate), which is the sketch-only O(groups × sketch) shuffle shape
+    the scale claim refers to."""
     d = load(spark, sf_dir, "documents")
     qs = [0.25, 0.50, 0.75, 0.95]
     agg = d.groupBy("lang").agg(

@@ -363,7 +363,19 @@ def _run_epochs(
                 slice_df, bad = validate_slice(slice_df, validator, observation=q_obs)
 
                 def quarantine_pre_commit(bad=bad, q_obs=q_obs, qpath=qpath, status_col=status_col):
-                    if int(q_obs.get["bad_rows"] or 0) > 0:
+                    # Observation.get blocks until SOME action has consumed
+                    # the observed lineage. The merge path always runs one
+                    # (CoW's affected-bucket collect / the MOR delta write),
+                    # but a caller reaching the commit with no prior action
+                    # (e.g. an externally-supplied empty bucket list) would
+                    # hang forever here — so when the metric is not yet
+                    # populated, count the bad rows directly instead (one
+                    # extra job on that cold path only; ADVICE r4).
+                    if q_obs._jo is None or q_obs._jo.getRowOrEmpty().isEmpty():
+                        n_bad = bad.count()
+                    else:
+                        n_bad = int(q_obs.get["bad_rows"] or 0)
+                    if n_bad > 0:
                         bad.withColumn("status", status_col).write.mode(
                             "overwrite"
                         ).partitionBy("status").parquet(qpath)

@@ -190,6 +190,32 @@ def test_connected_components_chain_clique_singleton(spark):
                    20: 20, 21: 20, 30: 30, 31: 31}
 
 
+def test_connected_components_string_ids_deep_chain(spark):
+    """String/UUID-style ids (the common doc-id shape) on a diameter-4
+    chain: convergence must be type-agnostic. The old label-sum signal
+    cast labels to decimal — CAST_INVALID_INPUT under ANSI, or a silent
+    one-round NULL==NULL stop (wrong clusters for any diameter ≥ 2) on
+    non-ANSI configs (ADVICE r4)."""
+    from read_comp_data_pipeline_spark.operators.dedup import connected_components
+
+    # chain e-d-c-b-a: label 'a' must propagate 4 hops
+    edges = spark.createDataFrame(
+        [("doc-e", "doc-d"), ("doc-d", "doc-c"), ("doc-c", "doc-b"),
+         ("doc-b", "doc-a"), ("zzz-1", "zzz-2")],
+        "id_a string, id_b string",
+    )
+    nodes = spark.createDataFrame(
+        [(x,) for x in ["doc-a", "doc-b", "doc-c", "doc-d", "doc-e",
+                        "zzz-1", "zzz-2", "lone"]],
+        "doc_id string",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components(edges, nodes, "doc_id").collect()}
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "doc-d": "doc-a", "doc-e": "doc-a",
+                   "zzz-1": "zzz-1", "zzz-2": "zzz-1", "lone": "lone"}
+
+
 def test_connected_components_on_guarded_star_edges(spark, planted):
     """End-to-end: guarded near-dup edges from the 200-copy planted
     corpus collapse to ONE cluster (keeper 0) covering copies + variants;

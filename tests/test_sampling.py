@@ -93,3 +93,17 @@ def test_pack_sequences_is_contiguous_and_exact(spark):
         prev = streams.get(r["shard"], 0)
         assert r["pack_offset"] == prev % 10 and r["pack_id"] == prev // 10
         streams[r["shard"]] = prev + r["n_tokens"]
+
+
+def test_zero_coverage_split_fails_loudly(spark, sf_dir):
+    """A weight below the 1/10000 assignment granularity rounds to a
+    zero-width hash interval; the label would silently emit no rows —
+    hash_split must raise instead (ADVICE r4)."""
+    import pytest
+
+    from read_comp_data_pipeline_spark.operators.sampling import hash_split
+    from read_comp_data_pipeline_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="zero hash-bucket coverage"):
+        hash_split(d, weights={"train": 1.0, "tiny": 1e-6})
