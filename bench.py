@@ -55,6 +55,10 @@ HEADLINE = [
     "pack_sequences_by_lang",
     "vocab_top_terms",
     "quantile_profile_by_lang",
+    # round-5 additions
+    "dedup_incremental",
+    "eval_contamination",
+    "doc_repetition_signals",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS

@@ -19,6 +19,8 @@ replicate it bit-for-bit via the portable hash (functions/hashing.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -517,6 +519,51 @@ def incremental_near_dups(
     band_hash so the candidate join prunes store files; the plan contract
     tested here is the scan-level one: no scan of corpus text.
     """
+    return _incremental_state(delta, store_path, text_col, id_col, n, k, bands, threshold)["out"]
+
+
+def update_signature_store(
+    delta: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> None:
+    """Fold a processed delta INTO the signature store, producing the store
+    of (corpus ∪ delta) at ``out_path`` — the commit step that makes
+    :func:`incremental_near_dups` chainable epoch over epoch: process
+    epoch's delta against store N, write store N+1, repeat. Identical to
+    rebuilding the store from the union (tested), but only delta-derived
+    rows are computed fresh; corpus rows pass through (relabeled on keeper
+    takeover). Parquet rewrites whole relations here; on Iceberg each
+    relation is a MERGE/append and untouched files are untouched.
+    """
+    if os.path.abspath(out_path) == os.path.abspath(store_path):
+        raise ValueError("out_path must differ from store_path (snapshot-style update)")
+    st = _incremental_state(delta, store_path, text_col, id_col, n, k, bands, threshold)
+    st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups")
+    st["exact_edges"].write.mode("overwrite").parquet(f"{out_path}/exact_edges")
+    st["bands"].write.mode("overwrite").parquet(f"{out_path}/bands")
+    st["shingles"].write.mode("overwrite").parquet(f"{out_path}/shingles")
+    st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges")
+
+
+def _incremental_state(
+    delta: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    threshold: float,
+) -> dict[str, DataFrame]:
+    """Shared machinery for :func:`incremental_near_dups` (needs ``out``)
+    and :func:`update_signature_store` (needs the five updated relations)."""
     spark = delta.sparkSession
     groups_s = spark.read.parquet(f"{store_path}/groups")
     exact_s = spark.read.parquet(f"{store_path}/exact_edges")
@@ -550,7 +597,7 @@ def incremental_near_dups(
     # exact star edges: untouched groups pass through; touched rebuilt
     untouched_exact = exact_s.join(
         F.broadcast(touched.select("content_hash")), on="content_hash", how="left_anti"
-    ).select("id_a", "id_b")
+    )
     members = (
         touched.select("content_hash", F.col("keeper_id").alias("m"))
         .unionByName(
@@ -563,7 +610,7 @@ def incremental_near_dups(
     touched_exact = (
         members.join(F.broadcast(touched.select("content_hash", "new_keeper")), on="content_hash")
         .where(F.col("m") != F.col("new_keeper"))
-        .select(F.col("new_keeper").alias("id_a"), F.col("m").alias("id_b"))
+        .select("content_hash", F.col("new_keeper").alias("id_a"), F.col("m").alias("id_b"))
     )
 
     # ── new hashes: collapse within the delta, band, verify ─────────────
@@ -574,7 +621,7 @@ def incremental_near_dups(
         new.join(F.broadcast(new_groups.select("content_hash", F.col("id").alias("_k"))),
                  on="content_hash")
         .where(F.col("id") != F.col("_k"))
-        .select(F.col("_k").alias("id_a"), F.col("id").alias("id_b"))
+        .select("content_hash", F.col("_k").alias("id_a"), F.col("id").alias("id_b"))
     )
     delta_sh = shingles(new_groups, "text", "id", n).localCheckpoint(eager=True)
     delta_bands = band_stack(minhash_signatures(delta_sh, k), k, bands)
@@ -612,9 +659,34 @@ def incremental_near_dups(
 
     near_all = _relabel(edges_s.unionByName(near_new))
     exact_all = untouched_exact.unionByName(touched_exact).unionByName(new_exact)
-    return near_all.unionByName(
+    out = near_all.unionByName(
         exact_all.select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
+
+    # ── the five updated store relations (corpus ∪ delta) ───────────────
+    def _relabel_ids(rel: DataFrame) -> DataFrame:
+        return rel.join(
+            F.broadcast(relabel.withColumnRenamed("_old", "id")), on="id", how="left"
+        ).select(
+            F.coalesce(F.col("_new"), F.col("id")).alias("id"),
+            *[c for c in rel.columns if c != "id"],
+        )
+
+    groups_u = groups_s.join(
+        F.broadcast(touched.select("content_hash", "new_keeper")),
+        on="content_hash", how="left",
+    ).select(
+        "content_hash",
+        F.coalesce(F.col("new_keeper"), F.col("keeper_id")).alias("keeper_id"),
+    ).unionByName(new_groups.select("content_hash", F.col("id").alias("keeper_id")))
+    return {
+        "out": out,
+        "groups": groups_u,
+        "exact_edges": exact_all,
+        "bands": _relabel_ids(bands_s).unionByName(delta_bands),
+        "shingles": _relabel_ids(sh_s).unionByName(delta_sh),
+        "edges": near_all,
+    }
 
 
 def _bit_weight(b: int) -> int:

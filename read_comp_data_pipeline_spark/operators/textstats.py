@@ -167,3 +167,127 @@ def winnowing_oracle_sql(n: int = 5, window: int = 4) -> str:
     )
     SELECT DISTINCT id AS doc_id, fp FROM winnowed WHERE _full IS NOT NULL
     """
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition signals (Gopher-style quality filters):
+
+    * ``dup_line_frac``    — fraction of non-empty trimmed lines that are
+      repeats of an earlier identical line (0 for single-line docs);
+    * ``top_unigram_frac`` — occurrences of the most frequent word token
+      over all word-token occurrences;
+    * ``top_bigram_frac``  — same for word bigrams.
+
+    Boilerplate-heavy documents (navigation chrome, templated licenses,
+    keyword stuffing) light these up; they extend :func:`quality_score`
+    with the repetition dimension it lacks.
+
+    Scale shape: line stats are pure array Column expressions (zero
+    shuffle, folded into the scan projection); n-gram stats are one
+    explode + two map-side-combinable hash aggregates keyed on
+    (doc, term) then (doc) — no windows, so a 10^10-doc corpus profiles
+    in one pass. All arithmetic is integer-ratio → double, replicated
+    bit-for-bit by the DuckDB oracle (:func:`repetition_oracle_sql`).
+
+    Reference analogue: the reference has per-page line counts only
+    (``/root/reference/search_scrape.py:443-445``); repetition screening
+    is part of the training-data extension surface.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6),
+    ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+    )
+
+    toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), 0)
+    nb = F.size(toks) - 1
+    bigrams = F.when(
+        nb >= 1,
+        F.zip_with(
+            F.slice(toks, 1, nb),
+            F.slice(toks, 2, nb),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _top_frac(exploded, alias):
+        per_term = exploded.groupBy("id", "term").agg(F.count("*").alias("n"))
+        return per_term.groupBy("id").agg(
+            F.round(F.max("n") / F.sum("n"), 6).alias(alias)
+        )
+
+    uni = _top_frac(
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term")),
+        "top_unigram_frac",
+    )
+    bi = _top_frac(
+        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("term")),
+        "top_bigram_frac",
+    )
+    out = (
+        base.join(uni.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .join(bi.withColumnRenamed("id", id_col), on=id_col, how="left")
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def repetition_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`repetition_signals` over ``table``."""
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),"
+        " l -> l <> '')"
+    )
+    return f"""
+    WITH rs_base AS (
+      SELECT doc_id,
+             CAST(len({lines}) AS BIGINT) AS n_lines,
+             CASE WHEN len({lines}) > 0
+                  THEN round((len({lines}) - len(list_distinct({lines})))
+                             / len({lines}), 6)
+                  ELSE 0.0 END AS dup_line_frac
+      FROM {table}
+    ),
+    rs_toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok,
+             unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z]+')))) AS pos
+      FROM {table}
+    ),
+    rs_uni AS (
+      SELECT id, round(max(n) / sum(n), 6) AS top_unigram_frac FROM (
+        SELECT id, tok, count(*) AS n FROM rs_toks GROUP BY id, tok
+      ) GROUP BY id
+    ),
+    rs_bg AS (
+      SELECT id, tok || ' ' || lead(tok) OVER w AS bg, lead(tok) OVER w AS _t
+      FROM rs_toks WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    rs_bi AS (
+      SELECT id, round(max(n) / sum(n), 6) AS top_bigram_frac FROM (
+        SELECT id, bg, count(*) AS n FROM rs_bg WHERE _t IS NOT NULL GROUP BY id, bg
+      ) GROUP BY id
+    )
+    SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+           coalesce(u.top_unigram_frac, 0.0) AS top_unigram_frac,
+           coalesce(i.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM rs_base b
+    LEFT JOIN rs_uni u ON u.id = b.doc_id
+    LEFT JOIN rs_bi i ON i.id = b.doc_id
+    """

@@ -132,3 +132,51 @@ def test_incremental_plan_never_scans_corpus_text(spark):
             **PARAMS,
         )
     )
+
+
+def test_store_update_chains_epochs(spark):
+    """update_signature_store makes the incremental path CHAINABLE: store0
+    (corpus) + delta1 → store1; incremental(delta2, store1) must equal
+    batch on the 3-way union — including a second-epoch takeover of a
+    group the first epoch already grew."""
+    from read_comp_data_pipeline_spark.operators.dedup import update_signature_store
+
+    corpus, delta1 = _corpus_and_delta(spark)
+    A = _words("alpha")
+    delta2 = spark.createDataFrame(
+        [
+            (7, A),                          # takeover AGAIN (7 < 50)
+            (300, _words("newround")),       # fresh content
+            (301, _words("newround")),       # its exact dup
+            (302, _variant(_words("eps"), 35, "qq")),  # near-dup vs epoch-1 content
+        ],
+        "doc_id long, text string",
+    )
+    root = tempfile.mkdtemp(prefix="chain_")
+    s0, s1 = os.path.join(root, "s0"), os.path.join(root, "s1")
+    build_signature_store(corpus, s0, **PARAMS)
+    update_signature_store(delta1, s0, s1, **PARAMS)
+    inc = _edge_set(incremental_near_dups(delta2, s1, **PARAMS))
+    batch = _edge_set(
+        minhash_near_dups(corpus.unionByName(delta1).unionByName(delta2), **PARAMS)
+    )
+    assert inc == batch
+    # the twice-taken-over group is rooted at 7 now
+    assert {(7, 50, 1.0), (7, 100, 1.0), (7, 101, 1.0), (7, 200, 1.0)} <= inc
+
+
+def test_updated_store_equals_rebuilt_store(spark):
+    """store0 + delta folded in == store built from scratch on the union,
+    relation by relation (the invariant that lets epochs chain forever)."""
+    from read_comp_data_pipeline_spark.operators.dedup import update_signature_store
+
+    corpus, delta = _corpus_and_delta(spark)
+    root = tempfile.mkdtemp(prefix="storeeq_")
+    s0, s1, sref = (os.path.join(root, x) for x in ("s0", "s1", "sref"))
+    build_signature_store(corpus, s0, **PARAMS)
+    update_signature_store(delta, s0, s1, **PARAMS)
+    build_signature_store(corpus.unionByName(delta), sref, **PARAMS)
+    for rel in ["groups", "exact_edges", "bands", "shingles", "edges"]:
+        got = {tuple(r) for r in spark.read.parquet(f"{s1}/{rel}").collect()}
+        exp = {tuple(r) for r in spark.read.parquet(f"{sref}/{rel}").collect()}
+        assert got == exp, f"relation {rel} diverged"

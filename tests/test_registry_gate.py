@@ -1,0 +1,86 @@
+"""The driver gates exactly the FIRST 50 registry entries in insertion
+order (verified empirically in r4: CORRECTNESS_r04.json == registry
+positions 1-50). These tests pin the first-50 contract so a future
+insertion can never silently evict an operator family from the gate
+again (that is how approx_price_quantiles lost its driver row in r4)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+# every operator family must keep at least one representative inside the
+# driver gate — one name per family, the one we most want driver-gated
+FAMILY_REPRESENTATIVES = [
+    "cdc_compact_latest",            # A5 compaction
+    "cdc_replay_final_state",        # the engine itself (S1-S8)
+    "hour_rotation_metrics",         # W3
+    "events_sessionize",             # sessionization
+    "q1_pricing_summary",            # agg engine
+    "q5_region_revenue",             # broadcast joins
+    "window_top_suppliers",          # ranking windows
+    "rollup_order_status",           # grouping sets
+    "pivot_status_by_priority",      # pivot
+    "q17_small_quantity_revenue",    # scalar subquery
+    "anti_join_new_keys",            # J1
+    "semi_join_seen_keys",           # J2
+    "union_dedup_state",             # U1
+    "j3_filename_roundtrip",         # J3
+    "p1_url_pipeline",               # P1-P4
+    "p5_keyword_classifier",         # P5/A1
+    "p6_nonempty_guard",             # P6
+    "w1_sections_udf",               # W1
+    "page_metadata_full",            # P8/F10
+    "prompt_generation",             # EP3 consumer
+    "f_string_composite",            # F1-F14
+    "a4_token_stats",                # A4
+    "lang_id_heuristic",             # language ID
+    "quality_scores",                # quality scoring
+    "doc_repetition_signals",        # repetition filters (r5)
+    "curation_pipeline",             # end-to-end curation
+    "winnowing_fingerprints",        # winnowing
+    "dedup_exact",                   # exact dedup
+    "dedup_minhash_lsh",             # MinHash LSH
+    "dedup_incremental",             # corpus-vs-delta dedup (r5)
+    "dedup_clusters",                # connected components
+    "simhash_fingerprints",          # SimHash
+    "simhash_hamming_pairs",         # hamming-k search
+    "eval_contamination",            # eval hygiene (r5)
+    "ann_brute_force_topk",          # exact ANN baseline
+    "ann_lsh_topk",                  # LSH ANN
+    "ann_ivf_topk",                  # IVF ANN
+    "emb_near_dup_lsh",              # embedding near-dup
+    "asof_join_prev_purchase",       # AS-OF join
+    "asof_join_prev_purchase_sliced",  # skew-sliced AS-OF
+    "range_join_error_burst",        # banded range join
+    "approx_key_cardinality",        # HLL
+    "approx_price_quantiles",        # GK sketch
+    "quantile_profile_by_lang",      # group-merged quantile profile
+    "train_val_split",               # deterministic split
+    "stratified_sample_by_lang",     # stratified sampling
+    "vocab_top_terms",               # vocabulary head
+    "pack_sequences_by_lang",        # sequence packing
+]
+
+
+def test_every_family_inside_the_driver_gate():
+    gated = list(entry_mod.queries())[:50]
+    missing = [n for n in FAMILY_REPRESENTATIVES if n not in gated]
+    assert not missing, f"families evicted from the driver gate: {missing}"
+
+
+def test_gated_entries_all_have_oracles():
+    """Every driver-gated entry must carry an oracle — a rows-only entry
+    inside the gate wastes a slot the weaker check doesn't need."""
+    gated = list(entry_mod.queries())[:50]
+    oracles = entry_mod.oracle_sql()
+    assert all(n in oracles for n in gated)
+
+
+def test_beyond_gate_entries_still_registered_and_oracled():
+    """Demoted twins keep full local-oracle coverage (the rule: demotion
+    never drops evidence, it only moves it to tools/correctness_local)."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    beyond = list(qs)[50:]
+    assert len(qs) >= 60
+    assert all(n in oracles for n in beyond)
