@@ -421,6 +421,32 @@ def connected_components_sql(
 # Incremental (corpus-vs-delta) near-dup — work ∝ delta, not corpus
 # ═══════════════════════════════════════════════════════════════════════════
 
+# partition-count default for the store's bucketed relations (bands by
+# band-hash bucket `bk`, shingles by id bucket `sk`): the knob a real
+# deployment sizes to its file-count budget; persisted in _store_meta.json
+# so readers always agree with the writer
+_STORE_BUCKETS = 16
+
+
+def _bk_expr():
+    return F.pmod(phash(F.col("band_hash")), F.lit(_STORE_BUCKETS)).cast("int")
+
+
+def _sk_expr():
+    return F.pmod(
+        phash(F.concat(F.lit("sk:"), F.col("id").cast("string"))),
+        F.lit(_STORE_BUCKETS),
+    ).cast("int")
+
+
+def _write_store_meta(path: str, n: int, k: int, bands: int) -> None:
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_store_meta.json"), "w") as f:
+        json.dump({"n": n, "k": k, "bands": bands, "buckets": _STORE_BUCKETS}, f)
+
+
 def build_signature_store(
     df: DataFrame,
     path: str,
@@ -439,12 +465,15 @@ def build_signature_store(
     * ``groups``      (content_hash, keeper_id)        — the exact seen-set
     * ``exact_edges`` (content_hash, id_a, id_b)       — keeper→member stars
       (duplicate groups only; singletons contribute nothing)
-    * ``bands``       (id, band_no, band_hash)         — reps' LSH keys
-    * ``shingles``    (id, shingle)                    — reps' n-gram sets
-      (needed so cross-epoch candidate pairs get the SAME exact-Jaccard
-      verification the batch pipeline applies — the one corpus-sized
-      relation; a system willing to accept signature-estimate
-      verification could drop it)
+    * ``bands``       (id, band_no, band_hash, bk)     — reps' LSH keys,
+      PARTITIONED by band-hash bucket ``bk`` so the delta's candidate
+      join dynamically prunes store files (work ∝ delta's buckets, not
+      the corpus's — plan-tested)
+    * ``shingles``    (id, shingle, sk)                — reps' n-gram sets,
+      PARTITIONED by id bucket ``sk`` (the one corpus-sized relation —
+      the Jaccard verification semi-joins it on (sk, id), so only the
+      candidates' buckets are read; a system willing to accept
+      signature-estimate verification could drop it entirely)
     * ``edges``       (id_a, id_b, jaccard)            — verified near-dup
       edges among reps (the already-known result)
 
@@ -452,6 +481,7 @@ def build_signature_store(
     independent of corpus size (``/root/reference/search_scrape.py:330``,
     ``:1048``); this is the content-level generalization.
     """
+    _write_store_meta(path, n, k, bands)
     reps, _ = collapse_exact(df, text_col, id_col)
     hashed = df.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
@@ -465,11 +495,15 @@ def build_signature_store(
     )
     exact_edges.write.mode("overwrite").parquet(f"{path}/exact_edges")
     sh = shingles(reps, text_col, id_col, n)
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    sh.withColumn("sk", _sk_expr()).write.mode("overwrite").partitionBy("sk").parquet(
+        f"{path}/shingles"
+    )
     spark = df.sparkSession
     sh_r = spark.read.parquet(f"{path}/shingles")  # reuse, don't re-shingle
-    sig = minhash_signatures(sh_r, k)
-    band_stack(sig, k, bands).write.mode("overwrite").parquet(f"{path}/bands")
+    sig = minhash_signatures(sh_r.select("id", "shingle"), k)
+    band_stack(sig, k, bands).withColumn("bk", _bk_expr()).write.mode(
+        "overwrite"
+    ).partitionBy("bk").parquet(f"{path}/bands")
     bands_r = spark.read.parquet(f"{path}/bands")
     pairs = (
         bands_r.alias("a")
@@ -478,7 +512,9 @@ def build_signature_store(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    near = jaccard_on_pairs(pairs, sh_r).where(F.col("jaccard") >= threshold)
+    near = jaccard_on_pairs(pairs, sh_r.select("id", "shingle")).where(
+        F.col("jaccard") >= threshold
+    )
     near.write.mode("overwrite").parquet(f"{path}/edges")
 
 
@@ -545,10 +581,15 @@ def update_signature_store(
     if os.path.abspath(out_path) == os.path.abspath(store_path):
         raise ValueError("out_path must differ from store_path (snapshot-style update)")
     st = _incremental_state(delta, store_path, text_col, id_col, n, k, bands, threshold)
+    _write_store_meta(out_path, n, k, bands)
     st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups")
     st["exact_edges"].write.mode("overwrite").parquet(f"{out_path}/exact_edges")
-    st["bands"].write.mode("overwrite").parquet(f"{out_path}/bands")
-    st["shingles"].write.mode("overwrite").parquet(f"{out_path}/shingles")
+    st["bands"].write.mode("overwrite").partitionBy("bk").parquet(f"{out_path}/bands")
+    # sk is a hash of the id, so takeover relabeling moves rows across
+    # buckets — recompute it from the final ids
+    st["shingles"].withColumn("sk", _sk_expr()).write.mode("overwrite").partitionBy(
+        "sk"
+    ).parquet(f"{out_path}/shingles")
     st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges")
 
 
@@ -624,9 +665,20 @@ def _incremental_state(
         .select("content_hash", F.col("_k").alias("id_a"), F.col("id").alias("id_b"))
     )
     delta_sh = shingles(new_groups, "text", "id", n).localCheckpoint(eager=True)
-    delta_bands = band_stack(minhash_signatures(delta_sh, k), k, bands)
+    delta_bands = band_stack(minhash_signatures(delta_sh, k), k, bands).withColumn(
+        "bk", _bk_expr()
+    ).localCheckpoint(eager=True)
+    # STATIC partition pruning on the store's band files: the delta's own
+    # bucket set is collected (bounded by _STORE_BUCKETS — same pattern as
+    # the engine's bucket-id collects in operators/merge.py) and pushed as
+    # a partition filter, so only the store band files the delta's buckets
+    # touch are ever read (plan-tested). Static beats DPP here: the
+    # broadcast delta side carries no selective predicate, so Spark's DPP
+    # heuristic declines to insert the dynamic filter.
+    bks = [r["bk"] for r in delta_bands.select("bk").distinct().collect()]
+    bands_pruned = bands_s.where(F.col("bk").isin(bks) if bks else F.lit(False))
     cand_cross = delta_bands.alias("dl").join(
-        bands_s.alias("st"), on=["band_no", "band_hash"]
+        bands_pruned.alias("st"), on=["bk", "band_no", "band_hash"]
     ).select(F.col("dl.id").alias("x"), F.col("st.id").alias("y"))
     cand_within = (
         delta_bands.alias("p").join(delta_bands.alias("q"), on=["band_no", "band_hash"])
@@ -637,8 +689,24 @@ def _incremental_state(
         cand_cross.unionByName(cand_within)
         .select(F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)  # candidate ids drive the sk pruning below
     )
-    near_new = jaccard_on_pairs(pairs, sh_s.unionByName(delta_sh)).where(
+    # Jaccard verification reads ONLY the shingle buckets the candidates
+    # live in: the candidates' sk set (bounded by _STORE_BUCKETS) prunes
+    # the store partitions, then a broadcast semi-join restricts to the
+    # exact candidate ids
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("sk", _sk_expr())
+        .localCheckpoint(eager=True)
+    )
+    sks = [r["sk"] for r in cand_ids.select("sk").distinct().collect()]
+    sh_cand = sh_s.where(F.col("sk").isin(sks) if sks else F.lit(False)).join(
+        F.broadcast(cand_ids), on=["sk", "id"], how="left_semi"
+    ).select("id", "shingle")
+    near_new = jaccard_on_pairs(pairs, sh_cand.unionByName(delta_sh)).where(
         F.col("jaccard") >= threshold
     )
 
@@ -684,8 +752,11 @@ def _incremental_state(
         "groups": groups_u,
         "exact_edges": exact_all,
         "bands": _relabel_ids(bands_s).unionByName(delta_bands),
-        "shingles": _relabel_ids(sh_s).unionByName(delta_sh),
+        "shingles": _relabel_ids(sh_s.select("id", "shingle")).unionByName(delta_sh),
         "edges": near_all,
+        # introspection handles (tests assert the pruning on real files)
+        "_bands_scan": bands_pruned,
+        "_shingles_scan": sh_cand,
     }
 
 

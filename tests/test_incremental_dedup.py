@@ -180,3 +180,54 @@ def test_updated_store_equals_rebuilt_store(spark):
         got = {tuple(r) for r in spark.read.parquet(f"{s1}/{rel}").collect()}
         exp = {tuple(r) for r in spark.read.parquet(f"{sref}/{rel}").collect()}
         assert got == exp, f"relation {rel} diverged"
+
+
+def test_incremental_prunes_store_partitions_on_disk(spark):
+    """The store's bands/shingles relations are PARTITIONED (bk = band-hash
+    bucket, sk = id bucket) and the delta's candidate work pushes static
+    partition filters — only the buckets the delta touches are read from
+    disk (the IVF-style on-disk pruning evidence, now for the dedup
+    store). Asserted against real files via input_file_name()."""
+    from pyspark.sql import functions as F
+
+    from read_comp_data_pipeline_spark.operators.dedup import _incremental_state
+
+    # corpus with widely varied content → band hashes spread over buckets
+    corpus = spark.createDataFrame(
+        [(i, _words(f"c{i}x")) for i in range(100, 180)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, _words("c100x")), (11, _words("freshone"))],
+        "doc_id long, text string",
+    )
+    store = tempfile.mkdtemp(prefix="prunestore_")
+    build_signature_store(corpus, store, **PARAMS)
+    st = _incremental_state(delta, store, "text", "doc_id",
+                            PARAMS["n"], PARAMS["k"], PARAMS["bands"],
+                            PARAMS["threshold"])
+
+    def files(df):
+        return {r["f"] for r in
+                df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    all_band_files = files(spark.read.parquet(f"{store}/bands"))
+    read_band_files = files(st["_bands_scan"])
+    assert read_band_files, "delta must touch at least one band bucket"
+    assert read_band_files < all_band_files, (
+        f"bands scan not pruned: {len(read_band_files)}/{len(all_band_files)}"
+    )
+    all_sh_files = files(spark.read.parquet(f"{store}/shingles"))
+    read_sh_files = files(st["_shingles_scan"])
+    assert read_sh_files < all_sh_files, (
+        f"shingles scan not pruned: {len(read_sh_files)}/{len(all_sh_files)}"
+    )
+    # and the partition filter is in the plan, not incidental
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        st["_bands_scan"].explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert "bk" in buf.getvalue().split("PartitionFilters")[1][:120]
