@@ -20,6 +20,10 @@ Commands:
                      consolidated segments (generational, crash-safe)
   vacuum    — expire old snapshots + unreferenced files
   show      — table summary (row count, last epoch, manifest tail)
+  dedup-store  — build the near-dup signature store for a document corpus
+  dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
+                 delta against the store; optionally fold the delta back
+                 in (--update-out) so the next epoch chains
 """
 
 from __future__ import annotations
@@ -64,6 +68,22 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    for name in ("dedup-store", "dedup-delta"):
+        p = sub.add_parser(name)
+        p.add_argument("--docs", required=True, help="parquet dir of (doc_id, text) rows")
+        p.add_argument("--store", required=True)
+        p.add_argument("--id-col", default="doc_id")
+        p.add_argument("--text-col", default="text")
+        p.add_argument("--ngram", type=int, default=5)
+        p.add_argument("--minhashes", type=int, default=16)
+        p.add_argument("--bands", type=int, default=4)
+        p.add_argument("--threshold", type=float, default=0.7)
+        if name == "dedup-delta":
+            p.add_argument("--edges-out", default=None,
+                           help="write the (id_a, id_b, jaccard) edge set here")
+            p.add_argument("--update-out", default=None,
+                           help="also fold the delta into a new store at this path")
 
     args = ap.parse_args(argv)
 
@@ -122,6 +142,36 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).vacuum(args.keep_snapshots)))
+    elif args.cmd == "dedup-store":
+        from read_comp_data_pipeline_spark.operators.dedup import build_signature_store
+
+        docs = spark.read.parquet(args.docs)
+        build_signature_store(
+            docs, args.store, text_col=args.text_col, id_col=args.id_col,
+            n=args.ngram, k=args.minhashes, bands=args.bands,
+            threshold=args.threshold,
+        )
+        print(json.dumps({"store": args.store, "docs": docs.count()}))
+    elif args.cmd == "dedup-delta":
+        from read_comp_data_pipeline_spark.operators.dedup import (
+            incremental_near_dups,
+            update_signature_store,
+        )
+
+        delta = spark.read.parquet(args.docs)
+        kw = dict(text_col=args.text_col, id_col=args.id_col, n=args.ngram,
+                  k=args.minhashes, bands=args.bands, threshold=args.threshold)
+        edges = incremental_near_dups(delta, args.store, **kw)
+        if args.edges_out:
+            edges.write.mode("overwrite").parquet(args.edges_out)
+            n_edges = spark.read.parquet(args.edges_out).count()
+        else:
+            n_edges = edges.count()
+        out = {"edges": n_edges, "delta_docs": delta.count()}
+        if args.update_out:
+            update_signature_store(delta, args.store, args.update_out, **kw)
+            out["updated_store"] = args.update_out
+        print(json.dumps(out))
     elif args.cmd == "show":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -482,18 +482,30 @@ def build_signature_store(
     ``:1048``); this is the content-level generalization.
     """
     _write_store_meta(path, n, k, bands)
-    reps, _ = collapse_exact(df, text_col, id_col)
+    # ONE md5 hash-aggregate over the corpus, checkpointed and reused by
+    # groups / exact_edges / reps (recomputing the collapse per relation
+    # tripled the dominant scan+agg cost of the build)
     hashed = df.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("content_hash"),
     )
-    groups = hashed.groupBy("content_hash").agg(F.min("id").alias("keeper_id"))
-    groups.write.mode("overwrite").parquet(f"{path}/groups")
+    grp = hashed.groupBy("content_hash").agg(
+        F.min("id").alias("keeper_id"), F.min("text").alias("keeper_text")
+    ).localCheckpoint(eager=True)
+    grp.select("content_hash", "keeper_id").write.mode("overwrite").parquet(
+        f"{path}/groups"
+    )
     exact_edges = (
-        hashed.join(groups, on="content_hash")
+        hashed.drop("text")
+        .join(grp.select("content_hash", "keeper_id"), on="content_hash")
         .where(F.col("id") != F.col("keeper_id"))
         .select("content_hash", F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
     )
     exact_edges.write.mode("overwrite").parquet(f"{path}/exact_edges")
+    reps = grp.select(
+        F.col("keeper_id").alias(id_col), F.col("keeper_text").alias(text_col)
+    )
     sh = shingles(reps, text_col, id_col, n)
     sh.withColumn("sk", _sk_expr()).write.mode("overwrite").partitionBy("sk").parquet(
         f"{path}/shingles"
@@ -605,6 +617,22 @@ def _incremental_state(
 ) -> dict[str, DataFrame]:
     """Shared machinery for :func:`incremental_near_dups` (needs ``out``)
     and :func:`update_signature_store` (needs the five updated relations)."""
+    # a store is only joinable with the EXACT parameters it was built
+    # under (different n/k/bands → different shingles/band keys → silent
+    # recall loss); the meta file makes a mismatch fail loudly
+    meta_path = os.path.join(store_path, "_store_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("n"), meta.get("k"), meta.get("bands")) != (n, k, bands):
+            raise ValueError(
+                f"signature store at {store_path} was built with "
+                f"n/k/bands={meta.get('n')}/{meta.get('k')}/{meta.get('bands')}, "
+                f"got {n}/{k}/{bands}"
+            )
+
     spark = delta.sparkSession
     groups_s = spark.read.parquet(f"{store_path}/groups")
     exact_s = spark.read.parquet(f"{store_path}/exact_edges")

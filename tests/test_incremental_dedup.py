@@ -231,3 +231,17 @@ def test_incremental_prunes_store_partitions_on_disk(spark):
         st["_bands_scan"].explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert "bk" in buf.getvalue().split("PartitionFilters")[1][:120]
+
+
+def test_store_parameter_mismatch_fails_loudly(spark):
+    """A store is only joinable under the parameters it was built with —
+    different shingle/band parameters silently lose recall, so the meta
+    guard must raise."""
+    import pytest
+
+    corpus, delta = _corpus_and_delta(spark)
+    store = tempfile.mkdtemp(prefix="metastore_")
+    build_signature_store(corpus, store, **PARAMS)
+    with pytest.raises(ValueError, match="was built with"):
+        incremental_near_dups(delta, store, n=7, k=PARAMS["k"],
+                              bands=PARAMS["bands"], threshold=0.5)
