@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_incremental",
     "eval_contamination",
     "doc_repetition_signals",
+    "unigram_logprob_scores",
+    "sample_to_token_budget",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS

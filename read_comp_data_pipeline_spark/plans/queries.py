@@ -1798,6 +1798,197 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@_q(
+    "corpus_after_dedup",
+    f"""
+    WITH cc AS ({connected_components_sql(_MINHASH_LSH_ORACLE, id_col="doc_id", table="documents")})
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+    WHERE cc.doc_id = cc.cluster_id
+    """,
+)
+def corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family APPLIED: keep exactly one document per near-dup
+    cluster (the cluster representative = min doc_id), drop the rest —
+    the step that turns edges/clusters into the training corpus. One
+    filter on the cluster assignment + one keyed join back to the docs;
+    composition of gated operators (dedup_minhash_lsh → dedup_clusters),
+    so it sits beyond the driver gate with full local-oracle evidence."""
+    d = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    keepers = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return d.join(keepers, on="doc_id").select("doc_id", "lang", "n_chars")
+
+
+from read_comp_data_pipeline_spark.operators.contamination import (  # noqa: E402
+    _shingle_cte_sql,
+)
+
+# quality/lang/fp are per-row projections, so scoring over ALL documents and
+# filtering to the corpus BEFORE keeper selection is exactly corp-only
+# semantics (keepers never see eval or contaminated docs)
+_CURATION_DECONTAM_ORACLE = rf"""
+    WITH q AS ({_QUALITY_SQL.replace("{STOP_SQL}", _STOP_SQL)}),
+    l AS (
+      WITH scored AS (SELECT doc_id, text, {_LANG_BEST_SQL} AS best FROM documents)
+      SELECT doc_id,
+             CASE WHEN best > 0 THEN {_LANG_CASE_SQL} ELSE 'und' END AS pred_lang
+      FROM scored
+    ),
+    f AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    evd AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
+    corp AS (SELECT * FROM documents WHERE doc_id % 25 <> 0),
+    {_shingle_cte_sql(8, "evd", "esh")},
+    {_shingle_cte_sql(8, "corp", "csh")},
+    eg AS (SELECT DISTINCT shingle FROM esh),
+    contaminated AS (SELECT DISTINCT c.id AS doc_id FROM csh c JOIN eg USING (shingle)),
+    kept AS (
+      SELECT f.doc_id, f.fp, l.pred_lang, q.quality
+      FROM f JOIN l ON l.doc_id = f.doc_id JOIN q ON q.doc_id = f.doc_id
+      WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+        AND f.doc_id % 25 <> 0
+        AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    keepers AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+    SELECT k.doc_id, k.pred_lang, k.quality
+    FROM kept k JOIN keepers kp ON kp.fp = k.fp AND kp.doc_id = k.doc_id
+"""
+
+
+@_q("curation_decontaminated", _CURATION_DECONTAM_ORACLE)
+def curation_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_pipeline + eval-set hygiene in ONE declarative plan:
+    quality gate + language filter + exact-dedup keeper + anti-join on
+    contaminated docs (broadcast eval 8-grams). The full pre-training
+    admission filter a corpus pass runs at 100 TB — all pushed filters,
+    two map-side-combinable aggregates, one broadcast semi/anti join."""
+    from read_comp_data_pipeline_spark.operators.contamination import (
+        eval_contamination as _ec,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    ev = d.where(F.pmod(F.col("doc_id"), F.lit(25)) == 0)
+    corp = d.where(F.pmod(F.col("doc_id"), F.lit(25)) != 0)
+    dirty = _ec(corp, ev, n=8, threshold=1).where(F.col("contaminated")).select("doc_id")
+    scored = corp.select(
+        "doc_id",
+        textstats.quality_score(F.col("text")).alias("quality"),
+        textstats.lang_id(F.col("text")).alias("pred_lang"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = (
+        scored.where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .join(dirty, on="doc_id", how="left_anti")
+    )
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return kept.join(keepers, on=["fp", "doc_id"]).select(
+        "doc_id", "pred_lang", "quality"
+    )
+
+
+@_q(
+    "unigram_logprob_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT sum(n) AS total FROM tf)
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(log2(tf.n / tot.total)), 6) AS mean_log2p
+    FROM toks JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style (unigram) fluency scoring: every document's mean log2
+    probability of its token occurrences under the corpus unigram
+    distribution — the perplexity-filter shape pretraining pipelines run
+    (gibberish/boilerplate scores far from the corpus mean). Relational
+    and fully distributed: one token explode, one term-count hash agg
+    (map-side combinable), one term-keyed join back, one per-doc avg —
+    no vocabulary collect, no UDF. Docs with zero word tokens have no
+    occurrences and drop out (same on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(tf, on="term")
+        .crossJoin(F.broadcast(total))  # 1-row total — a literal, not a join
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log2(F.col("n") / F.col("total"))), 6).alias("mean_log2p"),
+        )
+    )
+
+
+from read_comp_data_pipeline_spark.functions.hashing import phash_sql  # noqa: E402
+
+
+@_q(
+    "sample_to_token_budget",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_tokens,
+             {phash_sql("'budget-v1:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+    """,
+)
+def sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: per language, take documents in a
+    deterministic salted-hash order until the 2k-token budget fills —
+    how a pretraining mix caps each source/language at its target token
+    share, reproducibly (same hash discipline as train_val_split, so the
+    chosen set is stable across runs, cluster sizes, and row order). One
+    window keyed on the stratum; at corpus scale the stratum-keyed
+    running sum is the same shape as sequence packing. Value-exact
+    oracle — every chosen doc and running total checked.
+
+    Scale note: a running sum has no WindowGroupLimit-style partial
+    bound, so a hot stratum sorts in one task. The production mitigation
+    is a rank pre-filter: row_number per stratum by the same hash
+    (group-limited, map-side bounded) kept to ~budget/min_doc_tokens
+    rows before the running sum — only the plausible prefix ever sorts.
+    At the gated budget (2k tokens) the prefix is tiny; the pre-filter
+    is omitted here to keep the oracle exactly the running-sum
+    definition."""
+    from read_comp_data_pipeline_spark.functions.hashing import phash
+
+    d = load(spark, sf_dir, "documents")
+    h = phash(F.concat(F.lit("budget-v1:"), F.col("doc_id").cast("string")))
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = d.select(
+        "doc_id", "lang", n_tok.alias("n_tokens"),
+        F.sum(n_tok).over(w).cast("long").alias("cum_tokens"),
+    )
+    return out.where(F.col("cum_tokens") <= 2000)
+
+
 # ═══════════════════════════════════════════════════════════════════════════
 # registry accessors (driver contract)
 # ═══════════════════════════════════════════════════════════════════════════
@@ -1861,6 +2052,12 @@ _BEYOND_GATE = [
     "emb_near_dup_pairs",          # superseded by emb_near_dup_lsh
     "w1_sections_relational",      # twin of w1_sections_udf (same oracle)
     "page_metadata_struct",        # ⊂ page_metadata_full
+    # round-5 compositions/extensions of gated families (each reuses gated
+    # operators or the gated hash/window discipline; local-oracle-gated)
+    "corpus_after_dedup",          # dedup_clusters applied (keep-one)
+    "curation_decontaminated",     # curation_pipeline + eval_contamination
+    "unigram_logprob_scores",      # textstats family: unigram LM fluency
+    "sample_to_token_budget",      # sampling/packing family: token budget
 ]
 
 assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
