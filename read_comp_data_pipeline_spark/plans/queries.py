@@ -1989,6 +1989,94 @@ def sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("cum_tokens") <= 2000)
 
 
+from read_comp_data_pipeline_spark.operators.paragraphs import (  # noqa: E402
+    paragraph_dedup as _paragraph_dedup,
+    paragraph_dedup_oracle_sql as _pd_oracle,
+)
+from read_comp_data_pipeline_spark.operators.redact import (  # noqa: E402
+    redact_pii as _redact_pii,
+    redact_pii_oracle_sql as _rp_oracle,
+)
+
+# the documents table is single-line and duplicate-free at test scale, so
+# the gated paragraph-dedup query derives a web-shaped corpus from it
+# deterministically: every page wrapped in the same navigation header and
+# licence footer (the C4/CCNet boilerplate case). Both engines apply the
+# identical construction, so the oracle checks real dedup decisions
+# (header+footer survive only on the lowest doc_id), not a no-op.
+_CHROME_HEADER = "home | products | about"
+_CHROME_FOOTER = "(c) example corp - all rights reserved"
+
+
+@_q(
+    "paragraph_dedup",
+    f"""
+    WITH pd_src AS (
+      SELECT doc_id,
+             '{_CHROME_HEADER}' || chr(10) || coalesce(text, '') || chr(10) ||
+             '{_CHROME_FOOTER}' AS text
+      FROM documents
+    ),
+    {_pd_oracle("pd_src")}
+    SELECT * FROM pd_out
+    """,
+)
+def paragraph_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (C4/CCNet boilerplate removal) over a
+    chrome-wrapped corpus: shared nav header + licence footer repeat on
+    every page; each distinct paragraph survives once, at its first
+    (doc_id, pos) occurrence, and documents are reassembled from the
+    survivors. Winner selection is a sha2-keyed min-struct hash agg —
+    map-side combinable, deliberately NOT the row_number window (a 10^8-
+    occurrence boilerplate line must never land in one reducer); see
+    operators/paragraphs.py."""
+    d = load(spark, sf_dir, "documents")
+    chrome = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_CHROME_HEADER),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_CHROME_FOOTER),
+        ).alias("text"),
+    )
+    return _paragraph_dedup(chrome)
+
+
+@_q(
+    "pii_redaction",
+    f"""
+    WITH rp_src AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com host 10.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+             '.7 acct 90' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 7, '0') AS text
+      FROM rp_docs
+    ),
+    {_rp_oracle("rp_src")}
+    SELECT * FROM rp_out
+    """.replace("rp_docs", "documents"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub (C4/Dolma hygiene): count + rewrite emails, IPv4s
+    and long digit runs, as pure codegen'd Column expressions — zero
+    shuffle, one corpus pass. The documents table carries no PII, so the
+    gated query injects synthetic identifiers derived from doc_id with
+    the identical expression on both engines — every count and the full
+    redacted text are value-compared."""
+    d = load(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com host 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+        F.lit(".7 acct 90"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(1000000)).cast("string"), 7, "0"),
+    )
+    return _redact_pii(d.select("doc_id", pii.alias("text")))
+
+
 # ═══════════════════════════════════════════════════════════════════════════
 # registry accessors (driver contract)
 # ═══════════════════════════════════════════════════════════════════════════
@@ -2010,7 +2098,6 @@ _GATE_FIRST_50 = [
     # relational engine (TPC-H-style representatives)
     "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
     "part_brand_stats", "rollup_order_status", "window_top_suppliers",
-    "pivot_status_by_priority", "q17_small_quantity_revenue",
     # joins / set ops
     "anti_join_new_keys", "semi_join_seen_keys", "union_dedup_state",
     "j3_filename_roundtrip",
@@ -2018,9 +2105,10 @@ _GATE_FIRST_50 = [
     "p1_url_pipeline", "p5_keyword_classifier", "f_string_composite",
     "a4_token_stats", "p6_nonempty_guard", "w1_sections_udf",
     "page_metadata_full", "prompt_generation",
-    # text analysis / curation
+    # text analysis / curation / hygiene
     "lang_id_heuristic", "quality_scores", "doc_repetition_signals",
     "curation_pipeline", "winnowing_fingerprints",
+    "paragraph_dedup", "pii_redaction",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_clusters",
     "simhash_fingerprints", "simhash_hamming_pairs", "eval_contamination",
@@ -2040,6 +2128,12 @@ _GATE_FIRST_50 = [
 # locally-gated twins/variants (each is a redundant sibling of a gated
 # entry: same operator family, same engine path)
 _BEYOND_GATE = [
+    # r5 swap: two engine rows with four rounds of green driver history
+    # demoted to gate the brand-new hygiene families (paragraph_dedup,
+    # pii_redaction) — demotion never drops evidence, only moves it to
+    # tools/correctness_local
+    "pivot_status_by_priority",    # pivot ⊂ grouped-agg family (rollup gated)
+    "q17_small_quantity_revenue",  # scalar subquery; agg+join family gated
     "cdc_dedup_first_wins",        # twin of cdc_compact_latest (A5)
     "q6_forecast_revenue",         # filter-agg ⊂ q1_pricing_summary
     "running_customer_total",      # window frame; family row: window_top_suppliers

@@ -82,3 +82,67 @@ def test_repetition_line_stats_add_no_shuffle(spark):
         (F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup"),
     )
     assert "Exchange" not in _plan(df)
+
+
+# ───────────────────────── paragraph dedup (r5) ─────────────────────────
+
+from read_comp_data_pipeline_spark.operators.paragraphs import paragraph_dedup
+from read_comp_data_pipeline_spark.operators.redact import redact_pii
+
+
+def test_paragraph_dedup_planted(spark):
+    docs = _mk_docs(spark, [
+        (1, "nav\nUnique one\nfooter"),
+        (2, "nav\nUnique two\nfooter"),
+        (3, "nav\nfooter"),                    # pure boilerplate, later id
+        (4, "  \n\nSame twice\nSame twice\nz"),  # intra-doc dup + empties
+        (5, None),
+    ])
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # doc 1 is the first occurrence of both boilerplate lines — keeps all
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    assert got[1]["cleaned_text"] == "nav\nUnique one\nfooter"
+    # docs 2/3 lose the boilerplate; doc 3 loses everything
+    assert (got[2]["n_kept"], got[2]["cleaned_text"]) == (1, "Unique two")
+    assert (got[3]["n_paras"], got[3]["n_kept"], got[3]["cleaned_text"]) == (2, 0, "")
+    # intra-doc repeat: second occurrence removed, order preserved,
+    # whitespace-only lines never count as paragraphs
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (3, 2)
+    assert got[4]["cleaned_text"] == "Same twice\nz"
+    # NULL text → zero-paragraph row, still present
+    assert (got[5]["n_paras"], got[5]["n_kept"], got[5]["cleaned_text"]) == (0, 0, "")
+
+
+def test_paragraph_dedup_winner_is_hash_agg_not_window(spark):
+    """The winner-per-paragraph step must be the map-side-combinable
+    min-struct aggregate, NOT a row_number window: a 10^8-occurrence
+    boilerplate line in one window partition is the hot-reducer shape the
+    dedup family's collapse guard exists to kill."""
+    docs = _mk_docs(spark, [(1, "a\nb"), (2, "a\nc")])
+    plan = _plan(paragraph_dedup(docs))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_redact_pii_planted(spark):
+    docs = _mk_docs(spark, [
+        (1, "mail a.b+c@x.example.org and d@ex.io, ip 192.168.0.1, tel 5551234567"),
+        (2, "no pii here, short number 123, not-an-ip 1.2.3"),
+        (3, None),
+    ])
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_number"]) == (2, 1, 1)
+    assert got[1]["redacted_text"] == "mail <EMAIL> and <EMAIL>, ip <IP>, tel <NUM>"
+    # sub-threshold digit runs and 3-octet dotted strings are left alone
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_number"]) == (0, 0, 0)
+    assert got[2]["redacted_text"] == "no pii here, short number 123, not-an-ip 1.2.3"
+    assert (got[3]["n_email"], got[3]["redacted_text"]) == (0, "")
+
+
+def test_redact_pii_is_zero_shuffle_codegen(spark):
+    """The scrub is a pure scan projection: no exchange, no UDF — it must
+    ride whatever pass already reads the text column."""
+    docs = _mk_docs(spark, [(1, "a@b.co"), (2, "x")])
+    plan = _plan(redact_pii(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -19,8 +19,9 @@ FAMILY_REPRESENTATIVES = [
     "q5_region_revenue",             # broadcast joins
     "window_top_suppliers",          # ranking windows
     "rollup_order_status",           # grouping sets
-    "pivot_status_by_priority",      # pivot
-    "q17_small_quantity_revenue",    # scalar subquery
+    # r5: pivot_status_by_priority / q17_small_quantity_revenue demoted
+    # (4 rounds of green driver rows; grouped-agg + join families keep
+    # gated representatives) to admit the new hygiene families below
     "anti_join_new_keys",            # J1
     "semi_join_seen_keys",           # J2
     "union_dedup_state",             # U1
@@ -36,6 +37,8 @@ FAMILY_REPRESENTATIVES = [
     "lang_id_heuristic",             # language ID
     "quality_scores",                # quality scoring
     "doc_repetition_signals",        # repetition filters (r5)
+    "paragraph_dedup",               # corpus-wide paragraph dedup (r5)
+    "pii_redaction",                 # PII scrub (r5)
     "curation_pipeline",             # end-to-end curation
     "winnowing_fingerprints",        # winnowing
     "dedup_exact",                   # exact dedup
