@@ -61,6 +61,9 @@ HEADLINE = [
     "doc_repetition_signals",
     "unigram_logprob_scores",
     "sample_to_token_budget",
+    "paragraph_dedup",
+    "pii_redaction",
+    "bm25_topk",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS

@@ -1989,6 +1989,89 @@ def sample_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("cum_tokens") <= 2000)
 
 
+# BM25 constants (Robertson/Lucene defaults) and the fixed gated query —
+# terms drawn from the synthetic corpus vocabulary so scores are non-trivial
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("table", "window", "merge")
+
+
+@_q(
+    "bm25_topk",
+    f"""
+    WITH bm_toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    bm_dlen AS (SELECT doc_id, count(*) AS dl FROM bm_toks GROUP BY doc_id),
+    bm_stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM bm_dlen),
+    bm_tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM bm_toks
+      WHERE term IN ('table', 'window', 'merge') GROUP BY doc_id, term
+    ),
+    bm_df AS (SELECT term, count(*) AS df FROM bm_tf GROUP BY term),
+    bm_scored AS (
+      SELECT t.doc_id,
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+               * t.tf * {_BM25_K1 + 1}
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avg_dl))
+               AS c
+      FROM bm_tf t JOIN bm_df f USING (term) JOIN bm_dlen l USING (doc_id)
+      CROSS JOIN bm_stats s
+    )
+    SELECT doc_id, round(sum(c), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM bm_scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-10 documents for a fixed 3-term query
+    (k1=1.2, b=0.75, Lucene's +1 idf). The lexical sibling of the gated
+    ANN family — the other half of a real retrieval stack.
+
+    Fully relational, corpus-scale shape: one token explode; per-doc
+    lengths and per-(doc, term) tfs are map-side-combinable hash aggs
+    with the term filter applied BEFORE the tf aggregate (only query-term
+    postings ever aggregate — the inverted-index access pattern); df and
+    the (N, avg_dl) scalars are tiny broadcasts; final top-k is
+    orderBy+limit → distributed TakeOrderedAndProject, never a global
+    window. N/avg_dl are defined over token-bearing docs (identical in
+    the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl"))
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
+    )
+    return (
+        tf.join(F.broadcast(dft), on="term")
+        .join(dlen, on="doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar, a literal not a join
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 from read_comp_data_pipeline_spark.operators.paragraphs import (  # noqa: E402
     paragraph_dedup as _paragraph_dedup,
     paragraph_dedup_oracle_sql as _pd_oracle,
@@ -2148,6 +2231,9 @@ _BEYOND_GATE = [
     "page_metadata_struct",        # ⊂ page_metadata_full
     # round-5 compositions/extensions of gated families (each reuses gated
     # operators or the gated hash/window discipline; local-oracle-gated)
+    "bm25_topk",                   # lexical retrieval; top-k + agg
+                                   # disciplines gated via vocab_top_terms,
+                                   # ANN retrieval gated via ann_*_topk
     "corpus_after_dedup",          # dedup_clusters applied (keep-one)
     "curation_decontaminated",     # curation_pipeline + eval_contamination
     "unigram_logprob_scores",      # textstats family: unigram LM fluency

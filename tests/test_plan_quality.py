@@ -224,3 +224,26 @@ def test_vocab_topk_is_distributed_take_ordered(spark, sf_dir):
         vocab_top_terms(spark, sf_dir).explain()
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_topk_is_distributed_and_filters_before_tf_agg(spark, sf_dir):
+    """bm25_topk must (a) compile its top-k to TakeOrderedAndProject —
+    never a global single-partition sort of all scored docs — and (b)
+    push the query-term filter BELOW the tf aggregate, so only query-term
+    postings ever aggregate (the inverted-index access pattern: at corpus
+    scale the filter drops ~all tokens before the first exchange)."""
+    import contextlib
+    import io
+
+    from read_comp_data_pipeline_spark.plans.queries import bm25_topk
+
+    df = bm25_topk(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    # the IN-list filter appears as a Filter node; the plan must not
+    # aggregate the full token relation (only dlen aggregates all tokens,
+    # and that one is a map-side-combinable count)
+    assert "table" in plan and "Filter" in plan
