@@ -24,6 +24,11 @@ Commands:
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
                  in (--update-out) so the next epoch chains
+  para-store   — build the corpus's distinct-paragraph seen-set (sha2
+                 digests, hash-bucket-partitioned)
+  para-delta   — paragraph-dedup a new epoch against the store (epoch
+                 precedence), writing reassembled documents; optionally
+                 fold the delta's paragraphs in (--update-out)
 """
 
 from __future__ import annotations
@@ -84,6 +89,18 @@ def main(argv: list[str] | None = None) -> int:
                            help="write the (id_a, id_b, jaccard) edge set here")
             p.add_argument("--update-out", default=None,
                            help="also fold the delta into a new store at this path")
+
+    for name in ("para-store", "para-delta"):
+        p = sub.add_parser(name)
+        p.add_argument("--docs", required=True, help="parquet dir of (doc_id, text) rows")
+        p.add_argument("--store", required=True)
+        p.add_argument("--id-col", default="doc_id")
+        p.add_argument("--text-col", default="text")
+        if name == "para-delta":
+            p.add_argument("--out", required=True,
+                           help="write (doc_id, n_paras, n_kept, cleaned_text) here")
+            p.add_argument("--update-out", default=None,
+                           help="also fold the delta's paragraphs into a new store")
 
     args = ap.parse_args(argv)
 
@@ -170,6 +187,30 @@ def main(argv: list[str] | None = None) -> int:
         out = {"edges": n_edges, "delta_docs": delta.count()}
         if args.update_out:
             update_signature_store(delta, args.store, args.update_out, **kw)
+            out["updated_store"] = args.update_out
+        print(json.dumps(out))
+    elif args.cmd == "para-store":
+        from read_comp_data_pipeline_spark.operators.paragraphs import (
+            build_paragraph_store,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        build_paragraph_store(docs, args.store, text_col=args.text_col,
+                              id_col=args.id_col)
+        print(json.dumps({"store": args.store, "docs": docs.count()}))
+    elif args.cmd == "para-delta":
+        from read_comp_data_pipeline_spark.operators.paragraphs import (
+            paragraph_dedup_incremental,
+            update_paragraph_store,
+        )
+
+        delta = spark.read.parquet(args.docs)
+        kw = dict(text_col=args.text_col, id_col=args.id_col)
+        cleaned = paragraph_dedup_incremental(delta, args.store, **kw)
+        cleaned.write.mode("overwrite").parquet(args.out)
+        out = {"out": args.out, "delta_docs": spark.read.parquet(args.out).count()}
+        if args.update_out:
+            update_paragraph_store(delta, args.store, args.update_out, **kw)
             out["updated_store"] = args.update_out
         print(json.dumps(out))
     elif args.cmd == "show":

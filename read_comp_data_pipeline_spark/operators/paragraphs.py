@@ -37,8 +37,18 @@ applied at paragraph granularity.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from read_comp_data_pipeline_spark.functions.hashing import phash
+
+# paragraph-store hash-bucket fanout: at 100 TB the store would use a
+# much larger fanout (2^12-2^14) so a small epoch's touched-bucket set
+# prunes most store files; 64 keeps test artifacts readable
+_PSTORE_BUCKETS = 64
 
 
 def explode_paragraphs(
@@ -91,9 +101,18 @@ def paragraph_dedup(
         )
     )
 
+    return _reassemble(df, paras, winners, id_col)
+
+
+def _reassemble(
+    df: DataFrame, paras: DataFrame, kept: DataFrame, id_col: str
+) -> DataFrame:
+    """(doc_id, n_paras, n_kept, cleaned_text) for every row of ``df``,
+    given the exploded paragraphs and the surviving (doc_id, pos, para)
+    subset."""
     totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
     rebuilt = (
-        winners.groupBy("doc_id")
+        kept.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("kp"))
         .select(
             "doc_id",
@@ -114,6 +133,177 @@ def paragraph_dedup(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def _pb_expr():
+    return F.pmod(phash(F.col("h")), F.lit(_PSTORE_BUCKETS)).cast("int")
+
+
+def build_paragraph_store(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Persist the corpus's distinct-paragraph seen-set: one thin relation
+    ``hashes(h, pb)`` of sha2-256 paragraph digests, PARTITIONED by hash
+    bucket ``pb`` so a delta's membership join prunes store files to the
+    delta's touched buckets. Winner identity is NOT stored — under epoch
+    semantics the corpus always precedes the delta, so membership alone
+    decides (a delta paragraph already in the store is dropped no matter
+    which corpus doc owns it).
+
+    Reference analogue: the crawl's persisted seen-set
+    (``/root/reference/search_scrape.py:330``), here at paragraph
+    granularity — the same discipline
+    :func:`read_comp_data_pipeline_spark.operators.dedup.build_signature_store`
+    applies at document granularity.
+    """
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_store_meta.json"), "w") as f:
+        json.dump({"buckets": _PSTORE_BUCKETS}, f)
+    (
+        explode_paragraphs(df, text_col, id_col)
+        .select(F.sha2(F.col("para"), 256).alias("h"))
+        .distinct()
+        .withColumn("pb", _pb_expr())
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .parquet(f"{path}/hashes")
+    )
+
+
+def _load_pstore(spark, path: str):
+    with open(os.path.join(path, "_store_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("buckets") != _PSTORE_BUCKETS:
+        raise ValueError(
+            f"paragraph store at {path} was built with buckets="
+            f"{meta.get('buckets')}, engine expects {_PSTORE_BUCKETS}"
+        )
+    return spark.read.parquet(f"{path}/hashes")
+
+
+def paragraph_dedup_incremental(
+    delta: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph dedup of a NEW epoch against a persisted corpus
+    seen-set: the CCNet streaming shape — per-epoch work proportional
+    to the delta, the corpus text never re-read (only its digest store).
+
+    Semantics (epoch precedence): a delta paragraph survives iff it is
+    absent from the corpus store AND this is its first (doc_id, pos)
+    occurrence within the delta. Same output schema as
+    :func:`paragraph_dedup`, one row per delta document.
+
+    Scale shape: intra-delta winners via the same sha2-keyed min-struct
+    hash agg; corpus membership via one LEFT ANTI hash join against the
+    store relation restricted to the delta's touched hash buckets (a
+    driver-side bucket-id collect bounded by the store fanout, pushed as
+    a partition filter so only those store files are read — the same
+    pruning discipline as the document-level signature store). At a
+    production fanout the anti join is additionally storage-partitioned
+    on both sides, so the store is never re-shuffled.
+    """
+    spark = delta.sparkSession
+    paras = explode_paragraphs(delta, text_col, id_col)
+    winners = (
+        paras.groupBy(F.sha2(F.col("para"), 256).alias("h"))
+        .agg(F.min(F.struct("doc_id", "pos", "para")).alias("w"))
+        .select(
+            "h",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.pos").alias("pos"),
+            F.col("w.para").alias("para"),
+        )
+        .withColumn("pb", _pb_expr())
+        .localCheckpoint(eager=False)
+    )
+    touched = [r["pb"] for r in winners.select("pb").distinct().collect()]
+    store = _load_pstore(spark, store_path).where(F.col("pb").isin(touched))
+    kept = winners.join(store, on=["pb", "h"], how="left_anti").drop("pb", "h")
+    return _reassemble(delta, paras, kept, id_col)
+
+
+def update_paragraph_store(
+    delta: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a processed delta's paragraphs into the seen-set, writing the
+    store of (corpus ∪ delta) at ``out_path`` — makes
+    :func:`paragraph_dedup_incremental` chainable epoch over epoch.
+    Snapshot-style like the signature store: identical to rebuilding from
+    the union (tested), but only the delta's digests are computed fresh.
+    """
+    if os.path.abspath(out_path) == os.path.abspath(store_path):
+        raise ValueError("out_path must differ from store_path (snapshot-style update)")
+    spark = delta.sparkSession
+    new_h = (
+        explode_paragraphs(delta, text_col, id_col)
+        .select(F.sha2(F.col("para"), 256).alias("h"))
+        .distinct()
+        .withColumn("pb", _pb_expr())
+    )
+    merged = _load_pstore(spark, store_path).unionByName(new_h).distinct()
+    os.makedirs(out_path, exist_ok=True)
+    with open(os.path.join(out_path, "_store_meta.json"), "w") as f:
+        json.dump({"buckets": _PSTORE_BUCKETS}, f)
+    merged.write.mode("overwrite").partitionBy("pb").parquet(f"{out_path}/hashes")
+
+
+def paragraph_dedup_incremental_oracle_sql(corpus_rel: str, delta_rel: str) -> str:
+    """DuckDB mirror of :func:`paragraph_dedup_incremental` — epoch
+    precedence: a delta paragraph survives iff its CONTENT is absent from
+    the corpus (store membership; owner identity irrelevant) AND this is
+    its first (doc_id, pos) occurrence within the delta. Output schema and
+    reassembly identical to :func:`paragraph_dedup_oracle_sql`, one row
+    per delta document (CTE ``pdi_out``)."""
+    return f"""
+    pdi_cp AS (
+      SELECT unnest(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                   l -> trim(l))) AS para
+      FROM {corpus_rel}
+    ),
+    pdi_corp AS (SELECT DISTINCT para FROM pdi_cp WHERE para <> ''),
+    pdi_dp AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                   l -> trim(l))) AS para,
+             unnest(generate_series(
+                 0, len(string_split(coalesce(text, ''), chr(10))) - 1)) AS pos
+      FROM {delta_rel}
+    ),
+    pdi_np AS (SELECT * FROM pdi_dp WHERE para <> ''),
+    pdi_win AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM pdi_np
+    ),
+    pdi_kept AS (
+      SELECT w.doc_id, w.pos, w.para
+      FROM pdi_win w
+      WHERE w.rn = 1
+        AND NOT EXISTS (SELECT 1 FROM pdi_corp c WHERE c.para = w.para)
+    ),
+    pdi_tot AS (SELECT doc_id, count(*) AS n_paras FROM pdi_np GROUP BY doc_id),
+    pdi_agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(para, chr(10) ORDER BY pos) AS cleaned_text
+      FROM pdi_kept GROUP BY doc_id
+    ),
+    pdi_out AS (
+      SELECT d.doc_id,
+             CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+             CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(a.cleaned_text, '') AS cleaned_text
+      FROM {delta_rel} d
+      LEFT JOIN pdi_tot t USING (doc_id)
+      LEFT JOIN pdi_agg a USING (doc_id)
+    )
+    """
 
 
 def paragraph_dedup_oracle_sql(source_rel: str = "documents") -> str:

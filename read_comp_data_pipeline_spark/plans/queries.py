@@ -2073,7 +2073,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from read_comp_data_pipeline_spark.operators.paragraphs import (  # noqa: E402
+    build_paragraph_store as _build_pstore,
     paragraph_dedup as _paragraph_dedup,
+    paragraph_dedup_incremental as _paragraph_dedup_inc,
+    paragraph_dedup_incremental_oracle_sql as _pdi_oracle,
     paragraph_dedup_oracle_sql as _pd_oracle,
 )
 from read_comp_data_pipeline_spark.operators.redact import (  # noqa: E402
@@ -2124,6 +2127,54 @@ def paragraph_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return _paragraph_dedup(chrome)
+
+
+@_q(
+    "paragraph_dedup_incremental",
+    f"""
+    WITH pdi_src AS (
+      SELECT doc_id,
+             '{_CHROME_HEADER}' || chr(10) || coalesce(text, '') || chr(10) ||
+             '{_CHROME_FOOTER}' AS text
+      FROM documents
+    ),
+    pdi_corpus AS (SELECT * FROM pdi_src WHERE doc_id % 5 <> 0),
+    pdi_delta  AS (SELECT * FROM pdi_src WHERE doc_id % 5 = 0),
+    {_pdi_oracle("pdi_corpus", "pdi_delta")}
+    SELECT * FROM pdi_out
+    """,
+)
+def paragraph_dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL paragraph dedup: the corpus's distinct-paragraph
+    seen-set (here docs with doc_id % 5 != 0, chrome-wrapped) is persisted
+    once as a bucket-partitioned sha2 digest store; a new epoch (doc_id %
+    5 = 0) is then exploded/hashed ALONE and membership-checked with one
+    LEFT ANTI join against the store pruned to the delta's touched hash
+    buckets — per-epoch work proportional to the delta, the corpus text
+    never re-read (the CCNet boilerplate-removal shape the engine's epoch
+    loop needs at 100 TB; same discipline as dedup_incremental, at
+    paragraph granularity). Epoch precedence: a stored paragraph beats any
+    delta occurrence no matter how the ids compare. Sits beyond the
+    driver gate as a composition of two gated families (paragraph_dedup ×
+    the incremental store); full local-oracle evidence.
+
+    Bench note: the registered query builds the store AND runs the delta
+    pass; in production the build is paid once per corpus."""
+    d = load(spark, sf_dir, "documents")
+    chrome = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_CHROME_HEADER),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_CHROME_FOOTER),
+        ).alias("text"),
+    )
+    corpus = chrome.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    delta = chrome.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    store = tempfile.mkdtemp(prefix="pstore_q_")
+    _build_pstore(corpus, store)
+    return _paragraph_dedup_inc(delta, store)
 
 
 @_q(
@@ -2238,6 +2289,9 @@ _BEYOND_GATE = [
     "curation_decontaminated",     # curation_pipeline + eval_contamination
     "unigram_logprob_scores",      # textstats family: unigram LM fluency
     "sample_to_token_budget",      # sampling/packing family: token budget
+    "paragraph_dedup_incremental", # paragraph_dedup × incremental store
+                                   # (both families gated: paragraph_dedup,
+                                   # dedup_incremental)
 ]
 
 assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)
