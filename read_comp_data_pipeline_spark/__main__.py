@@ -20,6 +20,8 @@ Commands:
                      consolidated segments (generational, crash-safe)
   vacuum    — expire old snapshots + unreferenced files
   show      — table summary (row count, last epoch, manifest tail)
+  changes   — changelog emission (CDF): net row-level changes between two
+              committed epochs (insert/delete/update before+after images)
   dedup-store  — build the near-dup signature store for a document corpus
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
@@ -73,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    p = sub.add_parser("changes")
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-epoch", type=int, required=True,
+                   help="emit changes AFTER this committed epoch")
+    p.add_argument("--to-epoch", type=int, default=None,
+                   help="up to this epoch (default: current snapshot)")
+    p.add_argument("--out", default=None, help="write the change rows here")
 
     for name in ("dedup-store", "dedup-delta"):
         p = sub.add_parser(name)
@@ -159,6 +169,28 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).vacuum(args.keep_snapshots)))
+    elif args.cmd == "changes":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        snap_a = t.snapshot_at_epoch(args.from_epoch)
+        snap_b = t.snapshot_at_epoch(args.to_epoch) if args.to_epoch is not None else None
+        ch = t.changes_between(snap_a, snap_b)
+        if args.out:
+            ch.write.mode("overwrite").parquet(args.out)
+            ch = spark.read.parquet(args.out)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "from_epoch": args.from_epoch,
+            "to_epoch": args.to_epoch if args.to_epoch is not None else t.last_epoch,
+            "changes": counts,
+            **({"out": args.out} if args.out else {}),
+        }))
     elif args.cmd == "dedup-store":
         from read_comp_data_pipeline_spark.operators.dedup import build_signature_store
 

@@ -182,6 +182,100 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_CHANGES_ORACLE = """
+    WITH wal AS (
+      SELECT event_id AS seq,
+             'u' || (user_id % 10) AS repo,
+             'p' || user_id AS path,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             props || ':' || event_type AS content
+      FROM events
+    ),
+    mid AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
+    a AS (
+      SELECT repo, path, content, seq FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        FROM wal WHERE seq <= (SELECT m FROM mid)
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    b AS (
+      SELECT repo, path, content, seq FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        FROM wal
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    j AS (
+      SELECT coalesce(a.repo, b.repo) AS repo, coalesce(a.path, b.path) AS path,
+             a.content AS ac, a.seq AS aseq, b.content AS bc, b.seq AS bseq,
+             a.repo IS NOT NULL AS ha, b.repo IS NOT NULL AS hb
+      FROM a FULL OUTER JOIN b ON a.repo = b.repo AND a.path = b.path
+    )
+    SELECT repo, path, 'insert' AS _change_type, bc AS content, bseq AS seq
+    FROM j WHERE NOT ha
+    UNION ALL
+    SELECT repo, path, 'delete' AS _change_type, ac AS content, aseq AS seq
+    FROM j WHERE NOT hb
+    UNION ALL
+    SELECT repo, path, 'update_before' AS _change_type, ac AS content, aseq AS seq
+    FROM j WHERE ha AND hb AND aseq IS DISTINCT FROM bseq
+    UNION ALL
+    SELECT repo, path, 'update_after' AS _change_type, bc AS content, bseq AS seq
+    FROM j WHERE ha AND hb AND aseq IS DISTINCT FROM bseq
+"""
+
+
+@_q("cdc_changes_between", _CDC_CHANGES_ORACLE)
+def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog emission (Iceberg ``table_changes`` / Delta CDF): replay
+    the WAL in two phases through the MERGE engine, snapshot after phase 1,
+    and emit the net row-level changes between that snapshot and the final
+    one — inserts, deletes, and update before/after image pairs.
+
+    The oracle is the fully independent relational formulation: the
+    latest-non-delete state at seq ≤ mid vs at the end, full-outer-joined
+    and classified. The engine side computes the same thing from its own
+    snapshots via the bucket-pruned diff (merge.py changes_between): work
+    ∝ touched buckets, not table size."""
+    ev = load(spark, sf_dir, "events")
+    wal = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat_ws(":", "props", "event_type").alias("content"),
+    ).withColumn("commit", F.md5("content")).withColumn("lang", F.lit("py"))
+    wal = wal.withColumn(
+        "content", F.when(F.col("op") == "D", F.lit(None)).otherwise(F.col("content"))
+    )
+    n = int(wal.agg(F.max("seq")).first()[0] or 0)
+    mid = n // 2
+    tbl_path = tempfile.mkdtemp(prefix="cdc_changes_")
+    table = HashMergeTable.create(spark, tbl_path, TARGET_SCHEMA, n_buckets=8)
+
+    def apply_range(lo_all: int, hi_all: int, first_epoch: int) -> int:
+        # bounded epoch count at any sf (same discipline as the flagship)
+        esize = max(2500, (hi_all - lo_all + 1) // 4 + 1)
+        epoch, lo = first_epoch, lo_all
+        while lo <= hi_all:
+            hi = min(lo + esize - 1, hi_all)
+            sl = wal.where(F.col("seq").between(lo, hi))
+            src = prepare_target_rows(compact_latest(sl))
+            table.merge(src, epoch, src_seq_lo=lo, src_seq_hi=hi)
+            epoch, lo = epoch + 1, hi + 1
+        return epoch
+
+    next_epoch = apply_range(0, mid, 0)
+    snap_a = table._snapshot()
+    apply_range(mid + 1, n, next_epoch)
+    ch = table.changes_between(snap_a)
+    return ch.select("repo", "path", "_change_type", "content", "seq")
+
+
 @_q(
     "hour_rotation_metrics",
     """
@@ -2227,11 +2321,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GATE_FIRST_50 = [
     # CDC core / engine
-    "cdc_compact_latest", "cdc_replay_final_state", "hour_rotation_metrics",
-    "events_sessionize",
+    "cdc_compact_latest", "cdc_replay_final_state", "cdc_changes_between",
+    "hour_rotation_metrics", "events_sessionize",
     # relational engine (TPC-H-style representatives)
     "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
-    "part_brand_stats", "rollup_order_status", "window_top_suppliers",
+    "rollup_order_status", "window_top_suppliers",
     # joins / set ops
     "anti_join_new_keys", "semi_join_seen_keys", "union_dedup_state",
     "j3_filename_roundtrip",
@@ -2266,6 +2360,10 @@ _BEYOND_GATE = [
     # demoted to gate the brand-new hygiene families (paragraph_dedup,
     # pii_redaction) — demotion never drops evidence, only moves it to
     # tools/correctness_local
+    "part_brand_stats",            # r5 swap: grouped-agg family (rollup gated;
+                                   # broadcast/skew plan evidence keeps driver
+                                   # rows via q3/q5) — demoted to gate the new
+                                   # CDC changelog family (cdc_changes_between)
     "pivot_status_by_priority",    # pivot ⊂ grouped-agg family (rollup gated)
     "q17_small_quantity_revenue",  # scalar subquery; agg+join family gated
     "cdc_dedup_first_wins",        # twin of cdc_compact_latest (A5)

@@ -13,6 +13,7 @@ import __spark_entry__ as entry_mod
 FAMILY_REPRESENTATIVES = [
     "cdc_compact_latest",            # A5 compaction
     "cdc_replay_final_state",        # the engine itself (S1-S8)
+    "cdc_changes_between",           # changelog emission / CDF (r5)
     "hour_rotation_metrics",         # W3
     "events_sessionize",             # sessionization
     "q1_pricing_summary",            # agg engine
