@@ -98,6 +98,51 @@ def bench_cdc_replay(spark, n_events: int, epoch_size: int, mode: str) -> tuple[
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_changelog(spark, n_events: int, epoch_size: int) -> tuple[float, float]:
+    """Changelog emission + incremental matview fold on a pre-built table
+    (build untimed — the replay benches already time ingest). Timed: the
+    snapshot-diff change feed across the second half of the history, and
+    folding it into a per-repo aggregate view."""
+    from read_comp_data_pipeline_spark.operators.matview import apply_changes_to_agg
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdf_")
+    wal_path = os.path.join(tmp, "wal")
+    tbl_path = os.path.join(tmp, "target")
+    try:
+        n_epochs = max(n_events // epoch_size, 2)
+        wal = generate_change_events(
+            spark, n_events, n_keys=max(n_events // 8, 1), epoch_size=epoch_size
+        )
+        write_wal(wal, wal_path)
+        run_ingest(spark, wal_path, tbl_path, n_buckets=32, mode="cow",
+                   max_epoch=n_epochs // 2 - 1)
+        t = HashMergeTable(spark, tbl_path)
+        snap_a = t._snapshot()
+        run_ingest(spark, wal_path, tbl_path, n_buckets=32, mode="cow")
+
+        t0 = time.monotonic()
+        changes = t.changes_between(snap_a)
+        changes.write.format("noop").mode("overwrite").save()
+        feed_secs = time.monotonic() - t0
+
+        import pyspark.sql.functions as F
+
+        state_a = t.read(at_snapshot=snap_a).groupBy("repo").agg(
+            F.count("*").alias("n_rows"), F.sum("n_tokens").alias("sum_tokens")
+        )
+        t0 = time.monotonic()
+        view = apply_changes_to_agg(
+            state_a, t.changes_between(snap_a), ["repo"],
+            sum_cols={"n_tokens": "sum_tokens"},
+        )
+        view.write.format("noop").mode("overwrite").save()
+        fold_secs = time.monotonic() - t0
+        return feed_secs, fold_secs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -121,6 +166,10 @@ def main() -> None:
     # in bench_scaling.py.
     bench_cdc_replay(spark, 100_000, 100_000, "cow")
     bench_cdc_replay(spark, 100_000, 100_000, "mor")
+
+    feed_secs, fold_secs = bench_changelog(spark, 1_000_000, 250_000)
+    per_query["cdc_changes_feed"] = round(feed_secs, 3)
+    per_query["cdc_matview_fold"] = round(fold_secs, 3)
 
     cow_secs, cow_eps = bench_cdc_replay(spark, BENCH_EVENTS, BENCH_EPOCH_SIZE, "cow")
     mor_secs, eps = bench_cdc_replay(spark, BENCH_EVENTS, BENCH_EPOCH_SIZE, "mor")

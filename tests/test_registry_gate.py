@@ -14,6 +14,7 @@ FAMILY_REPRESENTATIVES = [
     "cdc_compact_latest",            # A5 compaction
     "cdc_replay_final_state",        # the engine itself (S1-S8)
     "cdc_changes_between",           # changelog emission / CDF (r5)
+    "cdc_incremental_agg",           # incremental matview maintenance (r5)
     "hour_rotation_metrics",         # W3
     "events_sessionize",             # sessionization
     "q1_pricing_summary",            # agg engine
@@ -49,7 +50,8 @@ FAMILY_REPRESENTATIVES = [
     "simhash_fingerprints",          # SimHash
     "simhash_hamming_pairs",         # hamming-k search
     "eval_contamination",            # eval hygiene (r5)
-    "ann_brute_force_topk",          # exact ANN baseline
+    # r5: ann_brute_force_topk (the documented exact BASELINE, not a scale
+    # operator) demoted; the family's scale paths keep driver rows below
     "ann_lsh_topk",                  # LSH ANN
     "ann_ivf_topk",                  # IVF ANN
     "emb_near_dup_lsh",              # embedding near-dup
