@@ -22,6 +22,8 @@ Commands:
   show      — table summary (row count, last epoch, manifest tail)
   changes   — changelog emission (CDF): net row-level changes between two
               committed epochs (insert/delete/update before+after images)
+  requeue   — move permanent dead letters back into the pending retry
+              stream (run after the upstream fix ships)
   dedup-store  — build the near-dup signature store for a document corpus
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
@@ -70,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
 
-    for name in ("compact", "compact-sidecars", "vacuum", "show"):
+    for name in ("compact", "compact-sidecars", "vacuum", "show", "requeue"):
         p = sub.add_parser(name)
         p.add_argument("--table", required=True)
         if name == "vacuum":
@@ -169,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).vacuum(args.keep_snapshots)))
+    elif args.cmd == "requeue":
+        from read_comp_data_pipeline_spark.streaming.ingest import requeue_dead_letters
+
+        print(json.dumps(requeue_dead_letters(spark, args.table)))
     elif args.cmd == "changes":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

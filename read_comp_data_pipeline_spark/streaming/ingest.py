@@ -16,6 +16,7 @@ surviving row per key.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -463,6 +464,70 @@ def _read_pending(spark: SparkSession, table_path: str, before_epoch: int) -> Da
     if not os.path.isdir(pdir):
         return None
     return spark.read.parquet(pdir)
+
+
+def requeue_dead_letters(
+    spark: SparkSession, table_path: str, reset_attempts: bool = True
+) -> dict:
+    """Operational recovery AFTER a fix ships: move permanent dead letters
+    back into the pending retry stream so the next ingest epoch re-drives
+    them (with a fresh attempt budget by default). The reference's
+    give-up is final (search_scrape.py:241-306 counts the failure and
+    moves on); a durable dead-letter relation is what makes recovery a
+    maintenance command instead of a re-crawl.
+
+    Runs offline (never concurrently with ingest). The combined
+    (current pending ∪ dead) set is first materialized to a staging dir,
+    then atomically swung in as the latest quarantine state, then the old
+    ``status=dead`` partitions are removed. Crash windows: before the
+    swing → nothing changed; between swing and cleanup → rows appear both
+    dead and pending, which a re-run of this command converges (and
+    re-applying a recovered row is harmless anyway — the per-key
+    seq-aware MERGE arms reject stale replays).
+    """
+    import shutil
+
+    qdir = os.path.join(table_path, "quarantine")
+    empty = {"requeued": 0, "pending_total": 0, "cleared_dead_dirs": 0}
+    if not os.path.isdir(qdir):
+        return empty
+    epoch_dirs = sorted(
+        n for n in os.listdir(qdir) if n.startswith("e") and n[1:].isdigit()
+    )
+    dead_dirs = [
+        os.path.join(qdir, n, "status=dead")
+        for n in epoch_dirs
+        if os.path.isdir(os.path.join(qdir, n, "status=dead"))
+    ]
+    if not dead_dirs:
+        return empty
+    dead = spark.read.parquet(*dead_dirs)
+    if reset_attempts:
+        dead = dead.withColumn("attempts", F.lit(0).cast("int"))
+    pending = _read_pending(spark, table_path, before_epoch=1 << 62)
+    rows = dead if pending is None else pending.unionByName(
+        dead, allowMissingColumns=True
+    )
+    n_dead = dead.count()
+    # stage first: the target index may be the dir we are reading from
+    staging = os.path.join(qdir, ".requeue.tmp")
+    shutil.rmtree(staging, ignore_errors=True)
+    rows.withColumn("status", F.lit("pending")).write.mode("overwrite").partitionBy(
+        "status"
+    ).parquet(staging)
+    n_total = spark.read.parquet(os.path.join(staging, "status=pending")).count()
+    # the latest index wins _read_pending's latest-dir rule and stays
+    # below the next ingest epoch (epochs are monotone past max existing)
+    new_idx = max(int(n[1:]) for n in epoch_dirs)
+    target = os.path.join(qdir, f"e{new_idx:010d}")
+    shutil.rmtree(target, ignore_errors=True)
+    os.replace(staging, target)
+    cleared = 0
+    for d in dead_dirs:
+        if os.path.isdir(d):  # the target's own dead partition is gone already
+            shutil.rmtree(d, ignore_errors=True)
+            cleared += 1
+    return {"requeued": n_dead, "pending_total": n_total, "cleared_dead_dirs": cleared}
 
 
 def read_quarantine(spark: SparkSession, table_path: str) -> DataFrame | None:

@@ -161,6 +161,70 @@ def test_quarantine_retry_escalation(spark, tmp_path):
     assert by_path["dead.py"]["error"] == "permanent upstream failure"
 
 
+def test_requeue_dead_letters_recovers_after_fix(spark, tmp_path):
+    """Dead-letter recovery: a permanently-failing row escalates to the
+    dead area; after the upstream fix ships, ``requeue`` moves it back to
+    pending (attempts reset) and the NEXT ingest epoch lands it in the
+    table, leaving the quarantine empty."""
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.streaming.ingest import (
+        default_validator,
+        requeue_dead_letters,
+    )
+
+    rows = [
+        (0, 0, _ts(0), "I", "r1", "ok.py", "c0", "py", "fine v0"),
+        (1, 0, _ts(1), "I", "r1", "dead.py", "c1", "py", "broken upstream"),
+        (2, 1, _ts(2), "U", "r1", "ok.py", "c2", "py", "fine v1"),
+        (3, 2, _ts(3), "U", "r1", "ok.py", "c3", "py", "fine v2"),
+    ]
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in WAL_SCHEMA.fields]
+    )
+    wal_path = str(tmp_path / "wal")
+    spark.createDataFrame(rows, nullable).write.partitionBy("epoch").parquet(wal_path)
+
+    def broken(df):
+        return F.when(
+            F.col("path") == "dead.py", F.lit("permanent upstream failure")
+        ).otherwise(default_validator(df))
+
+    tbl = str(tmp_path / "t")
+    run_ingest(spark, wal_path, tbl, n_buckets=2, quarantine=True,
+               validator=broken, max_attempts=2)
+    q = {r["path"]: r for r in read_quarantine(spark, tbl).collect()}
+    assert q["dead.py"]["attempts"] == 2  # escalated: permanently dead
+
+    # no dead letters → no-op
+    empty_tbl = str(tmp_path / "t_empty")
+    assert requeue_dead_letters(spark, empty_tbl) == {
+        "requeued": 0, "pending_total": 0, "cleared_dead_dirs": 0,
+    }
+
+    # fix ships; requeue; a new WAL epoch arrives; re-ingest re-drives it
+    st = requeue_dead_letters(spark, tbl)
+    assert st["requeued"] == 1 and st["pending_total"] == 1
+    q2 = {r["path"]: r for r in read_quarantine(spark, tbl).collect()}
+    assert q2["dead.py"]["attempts"] == 0  # pending again, fresh budget
+
+    more = [(4, 3, _ts(4), "U", "r1", "ok.py", "c4", "py", "fine v3")]
+    spark.createDataFrame(more, nullable).write.mode("append").partitionBy(
+        "epoch"
+    ).parquet(wal_path)
+    run_ingest(spark, wal_path, tbl, n_buckets=2, quarantine=True,
+               validator=default_validator, max_attempts=2)
+
+    got = {r["path"]: r["content"] for r in HashMergeTable(spark, tbl).read().collect()}
+    assert got["dead.py"] == "broken upstream"
+    assert got["ok.py"] == "fine v3"
+    q3 = read_quarantine(spark, tbl)
+    assert q3 is None or q3.count() == 0
+
+    # idempotence: a second requeue on a clean quarantine is a no-op
+    assert requeue_dead_letters(spark, tbl)["requeued"] == 0
+
+
 def test_stream_checkpoint_loss_is_lossless(spark, tmp_path):
     """Losing the streaming checkpoint restarts batch ids at 0; a replayed
     batch that ALSO contains new WAL files must apply the new rows (the
