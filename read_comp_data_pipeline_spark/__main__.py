@@ -24,6 +24,8 @@ Commands:
               committed epochs (insert/delete/update before+after images)
   requeue   — move permanent dead letters back into the pending retry
               stream (run after the upstream fix ships)
+  sync-view — keep a derived aggregate table current from the source's
+              changelog (exactly-once, resumable, work ∝ changes)
   dedup-store  — build the near-dup signature store for a document corpus
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
@@ -77,6 +79,16 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    p = sub.add_parser("sync-view")
+    p.add_argument("--table", required=True, help="source HashMergeTable")
+    p.add_argument("--view", required=True, help="derived view table path")
+    p.add_argument("--group-by", required=True,
+                   help="comma-separated group columns (e.g. repo)")
+    p.add_argument("--sum", default=None,
+                   help="comma-separated src:alias sum columns "
+                        "(e.g. n_tokens:sum_tokens)")
+    p.add_argument("--buckets", type=int, default=4)
 
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
@@ -171,6 +183,26 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).vacuum(args.keep_snapshots)))
+    elif args.cmd == "sync-view":
+        from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        sums = {}
+        if args.sum:
+            for part in args.sum.split(","):
+                src_c, _, alias = part.partition(":")
+                sums[src_c] = alias or f"sum_{src_c}"
+        src_t = HashMergeTable(spark, args.table)
+        view = sync_agg_view(
+            spark, src_t, args.view,
+            group_cols=args.group_by.split(","),
+            sum_cols=sums, n_buckets=args.buckets,
+        )
+        print(json.dumps({
+            "view": args.view,
+            "at_epoch": view.last_epoch,
+            "groups": view.read().count(),
+        }))
     elif args.cmd == "requeue":
         from read_comp_data_pipeline_spark.streaming.ingest import requeue_dead_letters
 

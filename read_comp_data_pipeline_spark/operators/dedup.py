@@ -42,6 +42,109 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data" shape, word-granular): per document, how
+    many of its n-token spans occur ≥ ``min_count`` times in the whole
+    corpus. Unlike document-level dedup (exact/minhash/simhash above),
+    this catches boilerplate shared by otherwise-distinct documents —
+    licence headers, navigation chrome, templated intros.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_span_fraction) for every
+    document with ≥ 1 span (≥ n tokens).
+
+    Scale shape: the span explode is linear in corpus tokens; the
+    duplicate-gram count is ONE map-side-combinable hash aggregate (a
+    10^8-occurrence boilerplate gram partial-counts per partition — no
+    hot reducer); marking is one gram-keyed join whose output stays
+    linear in spans; the per-doc rollup is again a combinable hash agg.
+    Two gram-keyed shuffles of the exploded relation total — the honest
+    cost of corpus-wide substring matching; suffix automata don't
+    distribute, this does.
+    """
+    toks = tokens_expr(text_col)
+    # CASE WHEN keeps the gram expression TOTAL: Catalyst infers
+    # size(transform(...)) > 0 filters from the explode and evaluates them
+    # alongside the row filter, so an unguarded sequence(0, size-n) would
+    # crash on <n-token docs (descending sequence → slice start 0)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.where(F.size(toks) >= n).select(
+        F.col(id_col).alias("id"), grams.alias("_grams")
+    )
+    spans = base.select("id", F.explode("_grams").alias("gram")).where(
+        F.col("gram") != ""
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    dup_per_doc = spans.join(dup, on="gram").groupBy("id").agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    totals = spans.groupBy("id").agg(F.count("*").alias("n_spans"))
+    out = totals.join(dup_per_doc, on="id", how="left")
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.round(n_dup.cast("double") / F.col("n_spans"), 6).alias(
+            "dup_span_fraction"
+        ),
+    )
+
+
+def duplicate_ngram_spans_sql(
+    n: int = 8, min_count: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`duplicate_ngram_spans` (same lead-window
+    gram construction as contamination._shingle_cte_sql, kept NON-distinct
+    so every occurrence counts)."""
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+             unnest(generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\s+')))) AS pos
+      FROM {table}
+    ),
+    grams AS (
+      SELECT id, {leads} AS gram, lead(tok, {n - 1}) OVER w AS t_last
+      FROM toks WHERE tok <> ''
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    spans AS (SELECT id, gram FROM grams WHERE t_last IS NOT NULL),
+    dup AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= {min_count}),
+    cnt AS (
+      SELECT s.id, count(*) AS n_dup
+      FROM spans s JOIN dup USING (gram) GROUP BY s.id
+    ),
+    tot AS (SELECT id, count(*) AS n_spans FROM spans GROUP BY id)
+    SELECT t.id AS doc_id,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           round(CAST(coalesce(c.n_dup, 0) AS DOUBLE) / t.n_spans, 6)
+             AS dup_span_fraction
+    FROM tot t LEFT JOIN cnt c USING (id)
+    """
+
+
 def collapse_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -125,10 +228,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     local explode + aggregate keyed by (id, shingle).
     """
     toks = tokens_expr(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # guarded like duplicate_ngram_spans: Generate-inferred filters may
+    # evaluate the transform on rows the size filter rejects — an
+    # unguarded sequence(0, size-n) crashes on <n-token docs
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.where(F.size(toks) >= n)  # <n-token docs yield no shingles
         .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))

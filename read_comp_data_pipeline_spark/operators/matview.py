@@ -27,8 +27,9 @@ not offered.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _ADD_TYPES = ("insert", "update_after")
 
@@ -91,3 +92,102 @@ def apply_changes_to_agg(
         ],
     )
     return out.where(F.col(count_alias) > 0)
+
+
+def sync_agg_view(
+    spark: SparkSession,
+    source,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str = "n_rows",
+    n_buckets: int = 4,
+):
+    """Exactly-once incremental DERIVED TABLE: keep an aggregate view of a
+    HashMergeTable current by folding its changelog — the Materialize /
+    Databricks-DLT derived-pipeline shape on this engine's own primitives.
+
+    The view is itself a HashMergeTable keyed by ``group_cols`` whose
+    committed epoch mirrors the source epoch it reflects, which is what
+    makes the sync RESUMABLE and IDEMPOTENT for free:
+
+    * a re-run after the view is current is a no-op (the view's own
+      epoch-level skip);
+    * a kill-and-resume catches up from the view's watermark — the
+      changelog window is ``source.snapshot_at_epoch(view.last_epoch) →
+      current``, so catch-up work ∝ changes missed, not table size;
+    * if the watermark snapshot was vacuumed away, the sync falls back to
+      a full recompute of the view (documented; the view commit is still
+      atomic).
+
+    Per sync, only groups the changelog TOUCHED are merged (upserts for
+    live groups, deletes for groups whose count reached zero); untouched
+    groups are never rewritten. Returns the view table.
+    """
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+    sum_cols = sum_cols or {}
+    val_cols = [count_alias, *sum_cols.values()]
+    src_epoch = source.last_epoch
+    src_schema = {f.name: f for f in source.schema.fields}
+    view_schema = T.StructType(
+        [
+            T.StructField(g, src_schema[g].dataType, True) if g in src_schema
+            else T.StructField(g, T.StringType(), True)
+            for g in group_cols
+        ]
+        + [T.StructField(c, T.LongType(), True) for c in val_cols]
+        + [T.StructField("seq", T.LongType(), True)]
+    )
+    if HashMergeTable.exists(view_path):
+        view = HashMergeTable(spark, view_path)
+    else:
+        view = HashMergeTable.create(
+            spark, view_path, view_schema, n_buckets=n_buckets,
+            key_cols=list(group_cols),
+        )
+    if src_epoch <= view.last_epoch:
+        return view  # already current (idempotent re-sync)
+
+    def direct_agg(df: DataFrame) -> DataFrame:
+        aggs = [F.count("*").cast("long").alias(count_alias)]
+        for src_c, alias in sum_cols.items():
+            aggs.append(F.sum(src_c).cast("long").alias(alias))
+        return df.groupBy(*group_cols).agg(*aggs)
+
+    if view.last_epoch < 0:
+        # first sync: bootstrap from a direct aggregation (the one full
+        # scan the incremental path then never repeats)
+        new_rows = direct_agg(source.read())
+        touched = new_rows.select(*group_cols)
+        dead = touched.limit(0)
+    else:
+        try:
+            snap_a = source.snapshot_at_epoch(view.last_epoch)
+        except ValueError:
+            # watermark snapshot expired (vacuum) → full recompute
+            new_state = direct_agg(source.read())
+            old = view.read().select(*group_cols)
+            dead = old.join(new_state.select(*group_cols), group_cols, "left_anti")
+            new_rows, touched = new_state, new_state.select(*group_cols)
+        else:
+            changes = source.changes_between(snap_a)
+            state = view.read().select(*group_cols, *val_cols)
+            new_state = apply_changes_to_agg(
+                state, changes, group_cols, sum_cols, count_alias
+            )
+            touched = changes_to_agg_delta(
+                changes, group_cols, sum_cols, count_alias
+            ).select(*group_cols)
+            new_rows = new_state.join(touched, group_cols, "left_semi")
+            dead = touched.join(new_state.select(*group_cols), group_cols, "left_anti")
+
+    src = new_rows.withColumn("op", F.lit("U")).unionByName(
+        dead.select(
+            *group_cols,
+            *[F.lit(None).cast("long").alias(c) for c in val_cols],
+            F.lit("D").alias("op"),
+        )
+    ).withColumn("seq", F.lit(src_epoch).cast("long"))
+    view.merge(src, epoch=src_epoch)
+    return view

@@ -1924,8 +1924,20 @@ def eval_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from read_comp_data_pipeline_spark.operators.dedup import (  # noqa: E402
     build_signature_store,
+    duplicate_ngram_spans,
+    duplicate_ngram_spans_sql,
     incremental_near_dups,
 )
+
+
+@_q("dup_ngram_spans", duplicate_ngram_spans_sql(n=8, min_count=2))
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection: per-document count/fraction of
+    8-token spans occurring ≥2 times corpus-wide — catches cross-document
+    boilerplate (licence headers, templated intros) that document-level
+    dedup misses. Linear explode + map-side-combinable gram count + one
+    gram-keyed marking join (operators/dedup.py::duplicate_ngram_spans)."""
+    return duplicate_ngram_spans(load(spark, sf_dir, "documents"), n=8)
 
 
 @_q("dedup_incremental", _MINHASH_LSH_ORACLE)
@@ -2401,7 +2413,7 @@ _GATE_FIRST_50 = [
     "paragraph_dedup", "pii_redaction",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental", "dedup_clusters",
-    "simhash_fingerprints", "simhash_hamming_pairs", "eval_contamination",
+    "simhash_hamming_pairs", "dup_ngram_spans", "eval_contamination",
     # ANN / embeddings
     "ann_lsh_topk", "ann_ivf_topk", "emb_near_dup_lsh",
     # temporal joins
@@ -2440,6 +2452,10 @@ _BEYOND_GATE = [
                                    # the family's SCALE operators (lsh/ivf)
                                    # keep driver rows; demoted to gate the
                                    # new incremental-matview family
+    "simhash_fingerprints",        # r5 swap: ⊂ simhash_hamming_pairs (the
+                                   # gated pairs query computes the same
+                                   # fingerprints first); demoted to gate
+                                   # substring-level dedup (dup_ngram_spans)
     "doc_fingerprints",            # ⊂ dedup_exact
     "emb_near_dup_pairs",          # superseded by emb_near_dup_lsh
     "w1_sections_relational",      # twin of w1_sections_udf (same oracle)

@@ -278,3 +278,63 @@ def test_embedding_bucket_cap_bounds_pairs(spark):
     ).count()
     assert capped == 10 * 9 // 2
     assert obs.get["capped_drop_rows"] == 90
+
+
+def test_duplicate_ngram_spans_planted(spark):
+    """Substring-level dedup: planted shared boilerplate is detected
+    span-exactly; unique text contributes zero duplicate spans."""
+    from read_comp_data_pipeline_spark.operators.dedup import duplicate_ngram_spans
+
+    boiler = "licensed under the apache license version two zero see notice"  # 10 toks
+    uniq1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"  # 10 toks
+    uniq2 = "kilo lima mike november oscar papa quebec romeo sierra tango"     # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}"),          # 20 toks -> 17 4-gram spans
+            (2, f"{boiler} {uniq2}"),          # 20 toks -> 17 spans
+            (3, uniq1 + " extra"),             # overlaps doc1's unique tail
+            (4, "short text"),                 # < n tokens: excluded
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_ngram_spans(docs, n=4).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_spans"] == 17 and got[2]["n_spans"] == 17
+    # doc1 vs doc2 share the 7 fully-inside-boilerplate grams (boundary
+    # grams differ); doc1 vs doc3 share uniq1's 7 internal grams
+    assert got[1]["n_dup_spans"] == 7 + 7
+    assert got[2]["n_dup_spans"] == 7
+    assert got[3]["n_dup_spans"] == 7
+    assert abs(got[2]["dup_span_fraction"] - round(7 / 17, 6)) < 1e-9
+
+
+def test_duplicate_ngram_spans_within_doc_repeat(spark):
+    """A span repeated WITHIN one document counts as duplicated (every
+    occurrence counts — non-distinct spans)."""
+    from read_comp_data_pipeline_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z a b c d")],  # "a b c d" occurs twice
+        "doc_id int, text string",
+    )
+    r = duplicate_ngram_spans(docs, n=4).collect()[0]
+    assert r["n_spans"] == 8
+    assert r["n_dup_spans"] == 2
+
+
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    """Regression (r5): Catalyst's Generate-inferred filters evaluate the
+    shingle transform alongside the size guard, so an unguarded
+    sequence(0, size-n) crashed on <n-token docs with slice(start=0)."""
+    from read_comp_data_pipeline_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, None),
+         (4, "five proper tokens right here")],
+        "doc_id int, text string",
+    )
+    got = shingles(docs, n=5).collect()
+    assert {r["id"] for r in got} == {4}

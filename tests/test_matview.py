@@ -121,6 +121,89 @@ def test_bootstrap_from_none_state(spark, tmp_path):
     assert _rows(got) == _rows(_agg(t.read()))
 
 
+def test_sync_agg_view_lifecycle(spark, tmp_path):
+    """Derived-table sync: bootstrap → incremental catch-up → no-op re-sync
+    → vacuum-expired watermark fallback. The view always equals the direct
+    aggregation of the source's current state."""
+    from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
+
+    path = str(tmp_path / "src")
+    vpath = str(tmp_path / "view")
+    t = HashMergeTable.create(spark, path, SCHEMA, n_buckets=4)
+    t.merge(
+        _src(
+            spark,
+            [
+                ("r1", "a", "x", 10, 0, "I"),
+                ("r1", "b", "y", 20, 1, "I"),
+                ("r2", "a", "z", 5, 2, "I"),
+                ("r3", "a", "w", 7, 3, "I"),
+            ],
+        ),
+        epoch=0,
+    )
+    kw = dict(
+        group_cols=["repo"], sum_cols={"n_tokens": "sum_tokens"}
+    )
+    view = sync_agg_view(spark, t, vpath, **kw)
+    assert view.last_epoch == 0
+    assert _rows(view.read().drop("seq")) == _rows(_agg(t.read()))
+
+    # two more source epochs; ONE sync catches up across both
+    t.merge(
+        _src(
+            spark,
+            [
+                ("r1", "a", "x2", 100, 4, "U"),
+                ("r3", "a", None, 6, 5, "D"),   # r3 disappears
+                ("r4", "a", "new", 3, 6, "I"),  # r4 appears
+            ],
+        ),
+        epoch=1,
+    )
+    t.merge(_src(spark, [("r2", "b", "q", 50, 7, "I")]), epoch=2)
+    view = sync_agg_view(spark, t, vpath, **kw)
+    assert view.last_epoch == 2
+    got = _rows(view.read().drop("seq"))
+    assert got == _rows(_agg(t.read()))
+    assert "r3" not in {r[0] for r in got}
+
+    # idempotent: re-sync with nothing new commits nothing
+    v_before = view._snapshot()["version"]
+    sync_agg_view(spark, t, vpath, **kw)
+    assert HashMergeTable(spark, vpath)._snapshot()["version"] == v_before
+
+    # watermark expiry: new source epoch, then vacuum evicts the old
+    # snapshots → the sync falls back to a full recompute, still exact
+    t.merge(_src(spark, [("r4", "b", "m", 9, 8, "I")]), epoch=3)
+    t.vacuum(keep_snapshots=1)
+    view = sync_agg_view(spark, t, vpath, **kw)
+    assert view.last_epoch == 3
+    assert _rows(view.read().drop("seq")) == _rows(_agg(t.read()))
+
+
+def test_sync_agg_view_only_touched_groups_rewritten(spark, tmp_path):
+    """Incremental sync merges only the changelog-touched groups: the
+    view's untouched buckets keep their data dirs across the sync (no
+    rewrite) — the |changes|-proportional claim, observable on disk."""
+    from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
+
+    path, vpath = str(tmp_path / "src2"), str(tmp_path / "view2")
+    t = HashMergeTable.create(spark, path, SCHEMA, n_buckets=4)
+    seed = [(f"repo{i}", "a", "x", i, i, "I") for i in range(16)]
+    t.merge(_src(spark, seed), epoch=0)
+    kw = dict(group_cols=["repo"], sum_cols={"n_tokens": "sum_tokens"})
+    sync_agg_view(spark, t, vpath, n_buckets=8, **kw)
+    dirs_before = dict(HashMergeTable(spark, vpath)._snapshot()["buckets"])
+
+    t.merge(_src(spark, [("repo3", "a", "x2", 99, 100, "U")]), epoch=1)
+    view = sync_agg_view(spark, t, vpath, n_buckets=8, **kw)
+    dirs_after = dict(view._snapshot()["buckets"])
+    changed = [b for b in dirs_after if dirs_after[b] != dirs_before.get(b)]
+    assert len(changed) == 1  # only repo3's bucket was rewritten
+    assert _rows(view.read().drop("seq")) == _rows(_agg(t.read()))
+
+
 def test_delta_is_map_side_combinable(spark, tmp_path):
     """The changelog delta must compile to a partial+final hash aggregate
     (no window, no sort) — the shape that stays changelog-sized at scale."""

@@ -47,8 +47,10 @@ FAMILY_REPRESENTATIVES = [
     "dedup_minhash_lsh",             # MinHash LSH
     "dedup_incremental",             # corpus-vs-delta dedup (r5)
     "dedup_clusters",                # connected components
-    "simhash_fingerprints",          # SimHash
-    "simhash_hamming_pairs",         # hamming-k search
+    # r5: simhash_fingerprints demoted (⊂ simhash_hamming_pairs, which
+    # computes the same fingerprints before banding)
+    "simhash_hamming_pairs",         # SimHash + hamming-k search
+    "dup_ngram_spans",               # substring-level dedup (r5)
     "eval_contamination",            # eval hygiene (r5)
     # r5: ann_brute_force_topk (the documented exact BASELINE, not a scale
     # operator) demoted; the family's scale paths keep driver rows below
