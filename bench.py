@@ -64,6 +64,7 @@ HEADLINE = [
     "paragraph_dedup",
     "pii_redaction",
     "bm25_topk",
+    "dup_ngram_spans",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS

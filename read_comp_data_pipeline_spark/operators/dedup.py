@@ -59,14 +59,16 @@ def duplicate_ngram_spans(
     Output: (doc_id, n_spans, n_dup_spans, dup_span_fraction) for every
     document with ≥ 1 span (≥ n tokens).
 
-    Scale shape: the span explode is linear in corpus tokens; the
-    duplicate-gram count is ONE map-side-combinable hash aggregate (a
-    10^8-occurrence boilerplate gram partial-counts per partition — no
-    hot reducer); marking is one gram-keyed join whose output stays
-    linear in spans; the per-doc rollup is again a combinable hash agg.
-    Two gram-keyed shuffles of the exploded relation total — the honest
-    cost of corpus-wide substring matching; suffix automata don't
-    distribute, this does.
+    Scale shape: spans explode ONCE and immediately aggregate to
+    ((doc, gram-hash) → occurrences) — map-side combinable, so a
+    10^8-occurrence boilerplate gram partial-counts per partition (no hot
+    reducer) and everything downstream (corpus gram totals, the dup-mark
+    join, the per-doc rollup) flows from that compacted relation. Grams
+    shuffle as 64-bit xxhash64 values, never as n-token strings (a
+    2^-64-per-pair collision merging two distinct grams is the accepted
+    trade — the same one the minhash family makes). Per-doc span totals
+    come from size() on the gram array: zero extra shuffle. Suffix
+    automata don't distribute; this does.
     """
     toks = tokens_expr(text_col)
     # CASE WHEN keeps the gram expression TOTAL: Catalyst infers
@@ -83,19 +85,22 @@ def duplicate_ngram_spans(
     base = df.where(F.size(toks) >= n).select(
         F.col(id_col).alias("id"), grams.alias("_grams")
     )
-    spans = base.select("id", F.explode("_grams").alias("gram")).where(
-        F.col("gram") != ""
+    per_doc_gram = (
+        base.select("id", F.explode("_grams").alias("gram"))
+        .where(F.col("gram") != "")
+        .groupBy("id", F.xxhash64("gram").alias("_g"))
+        .agg(F.count("*").alias("_c"))
     )
     dup = (
-        spans.groupBy("gram")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= min_count)
-        .select("gram")
+        per_doc_gram.groupBy("_g")
+        .agg(F.sum("_c").alias("_tc"))
+        .where(F.col("_tc") >= min_count)
+        .select("_g")
     )
-    dup_per_doc = spans.join(dup, on="gram").groupBy("id").agg(
-        F.count("*").alias("n_dup_spans")
+    dup_per_doc = per_doc_gram.join(dup, on="_g").groupBy("id").agg(
+        F.sum("_c").alias("n_dup_spans")
     )
-    totals = spans.groupBy("id").agg(F.count("*").alias("n_spans"))
+    totals = base.select("id", F.size("_grams").cast("long").alias("n_spans"))
     out = totals.join(dup_per_doc, on="id", how="left")
     n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
     return out.select(

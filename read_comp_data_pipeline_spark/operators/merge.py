@@ -341,6 +341,11 @@ class HashMergeTable:
         3 buckets. Reference analogue: the crawler re-checks only pages in
         the current frontier, never the whole seen-set
         (/root/reference/search_scrape.py:330).
+
+        ``snap_a`` must still be inside the vacuum retention window (its
+        data files exist); reading an expired snapshot fails loudly at
+        scan time. A compaction inside the window flags every bucket (a
+        correct superset — the diff then finds no logical change).
         """
         snap_b = snap_b or self._snapshot()
         cur = T.StructType.fromJson(snap_b["schemas"][snap_b["current_schema_id"]])

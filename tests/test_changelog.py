@@ -211,6 +211,19 @@ def test_snapshot_at_epoch_and_cli_changes(spark, tmp_path, capsys):
     assert _changes_set(spark.read.parquet(out)) == EXPECTED
 
 
+def test_changelog_across_mor_compaction(spark, tmp_path):
+    """Compaction between the snapshots rewrites base entries (the bucket
+    diff flags every bucket — a correct superset) but is logically a
+    no-op: the feed across a pure compaction is EMPTY, and a window
+    spanning writes + compaction reports exactly the writes' changes."""
+    t, snap_a = _two_phase_table(spark, str(tmp_path / "t_comp"), "mor")
+    pre_compact = t._snapshot()
+    t.compact_table()
+    assert t.changes_between(pre_compact).count() == 0
+    # writes + compaction in one window == the writes' net changes
+    assert _changes_set(t.changes_between(snap_a)) == EXPECTED
+
+
 def test_changelog_mor_and_cow_agree(spark, tmp_path):
     cow, cow_a = _two_phase_table(spark, str(tmp_path / "p_cow"), "cow")
     mor, mor_a = _two_phase_table(spark, str(tmp_path / "p_mor"), "mor")
