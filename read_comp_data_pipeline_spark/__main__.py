@@ -26,6 +26,10 @@ Commands:
               stream (run after the upstream fix ships)
   sync-view — keep a derived aggregate table current from the source's
               changelog (exactly-once, resumable, work ∝ changes)
+  rebucket  — partition-spec evolution: rewrite into a new bucket count
+              as one committed snapshot
+  history   — all retained versions of one key across snapshots
+              (row-granular time travel)
   dedup-store  — build the near-dup signature store for a document corpus
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
@@ -79,6 +83,16 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    p = sub.add_parser("rebucket")
+    p.add_argument("--table", required=True)
+    p.add_argument("--buckets", type=int, required=True,
+                   help="new bucket count (partition-spec evolution)")
+
+    p = sub.add_parser("history")
+    p.add_argument("--table", required=True)
+    p.add_argument("--repo", required=True)
+    p.add_argument("--path", required=True)
 
     p = sub.add_parser("sync-view")
     p.add_argument("--table", required=True, help="source HashMergeTable")
@@ -183,6 +197,22 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).vacuum(args.keep_snapshots)))
+    elif args.cmd == "rebucket":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).rebucket(args.buckets)))
+    elif args.cmd == "history":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        hist = t.key_history({"repo": args.repo, "path": args.path})
+        rows = [
+            {"version": r["_version"], "epoch": r["_epoch"], "seq": r["seq"],
+             "commit": r["commit"], "content_sha": r["content_sha"]}
+            for r in hist.select("_version", "_epoch", "seq", "commit", "content_sha")
+            .orderBy("_version").collect()
+        ]
+        print(json.dumps({"repo": args.repo, "path": args.path, "versions": rows}))
     elif args.cmd == "sync-view":
         from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable

@@ -743,6 +743,93 @@ class HashMergeTable:
         self._commit_snapshot(snap)
         return {"skipped": False, "secs": time.monotonic() - t0, "rows": sum(bucket_rows.values())}
 
+    def rebucket(self, new_n_buckets: int) -> dict[str, Any]:
+        """Partition-spec evolution: rewrite the live rows into a NEW
+        bucket count as one committed snapshot — Iceberg's bucket-spec
+        change + rewrite_data_files in a single maintenance move. The
+        operation a 10^10-row table needs when it outgrows its bucket
+        count (oversized files, too-coarse pruning): one shuffle of the
+        live rows, atomic swap, no reader disruption (pre-commit readers
+        keep the old layout; time travel to old snapshots still resolves
+        their own bucket mapping). MOR deltas are folded in the same
+        rewrite. The changelog across a rebucket is EMPTY — the bucket
+        diff flags everything (superset) but finds no logical change.
+        """
+        t0 = time.monotonic()
+        snap = self._snapshot()
+        if int(new_n_buckets) == int(snap["n_buckets"]):
+            return {"skipped": True, "n_buckets": int(snap["n_buckets"])}
+        merged = self.read(at_snapshot=snap).withColumn(
+            "_b", bucket_expr(new_n_buckets, snap["key_cols"])
+        )
+        data_dir = f"data/r{snap['version']:010d}"
+        (
+            merged.repartition(int(new_n_buckets), F.col("_b"))
+            .write.mode("overwrite")
+            .partitionBy("_b")
+            .parquet(os.path.join(self.path, data_dir))
+        )
+        bucket_rows = self._written_bucket_counts(os.path.join(self.path, data_dir))
+        snap["buckets"] = {
+            str(b): {
+                "dir": f"{data_dir}/_b={b}",
+                "schema_id": snap["current_schema_id"],
+                "rows": rows,
+            }
+            for b, rows in bucket_rows.items()
+            if rows > 0
+        }
+        snap["deltas"] = []
+        snap["n_buckets"] = int(new_n_buckets)
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {
+            "skipped": False,
+            "n_buckets": int(new_n_buckets),
+            "rows": sum(bucket_rows.values()),
+            "secs": time.monotonic() - t0,
+        }
+
+    def key_history(self, key: dict[str, Any]) -> DataFrame:
+        """All retained versions of ONE key across snapshots — "show me
+        this file's history" (time travel, row-granular). Each retained
+        snapshot contributes a bucket-pruned point lookup under its OWN
+        bucket mapping (rebucket-safe); the result is their lazy union
+        tagged with (_version, _epoch). O(retained snapshots) single-
+        bucket scans — a debug/audit op, not a table scan.
+        """
+        snaps = self.snapshots()
+        if not snaps:
+            return self.spark.createDataFrame([], self.schema)
+        key_cols = snaps[-1]["key_cols"]
+        # ONE tiny job computes the key's xxhash64; each snapshot's bucket
+        # is then driver-side arithmetic (pmod), whatever its bucket count
+        h = int(
+            self.spark.createDataFrame(
+                [tuple(key[k] for k in key_cols)],
+                ", ".join(f"{k} string" for k in key_cols),
+            )
+            .select(F.xxhash64(*key_cols).alias("h"))
+            .first()["h"]
+        )
+        parts = []
+        for snap in snaps:
+            n = int(snap["n_buckets"])
+            b = ((h % n) + n) % n
+            df = self.read(buckets=[int(b)], at_snapshot=snap)
+            for k in key_cols:
+                df = df.where(F.col(k) == key[k])
+            parts.append(
+                df.withColumn("_version", F.lit(int(snap["version"])))
+                .withColumn("_epoch", F.lit(int(snap["epoch"])))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], self.schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def _commit_noop(self, snap, epoch, lo, hi, t0, pre_commit=None) -> dict[str, Any]:
         self._append_manifest(
             epoch,
