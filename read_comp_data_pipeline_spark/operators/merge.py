@@ -348,6 +348,11 @@ class HashMergeTable:
         correct superset — the diff then finds no logical change).
         """
         snap_b = snap_b or self._snapshot()
+        if int(snap_a["version"]) > int(snap_b["version"]):
+            raise ValueError(
+                f"changes_between: snap_a (version {snap_a['version']}) is newer "
+                f"than snap_b (version {snap_b['version']}) — swap the arguments"
+            )
         cur = T.StructType.fromJson(snap_b["schemas"][snap_b["current_schema_id"]])
         keys = list(snap_b["key_cols"])
         non_keys = [f.name for f in cur.fields if f.name not in keys]
@@ -755,6 +760,8 @@ class HashMergeTable:
         rewrite. The changelog across a rebucket is EMPTY — the bucket
         diff flags everything (superset) but finds no logical change.
         """
+        if int(new_n_buckets) < 1:
+            raise ValueError(f"rebucket: n_buckets must be >= 1, got {new_n_buckets}")
         t0 = time.monotonic()
         snap = self._snapshot()
         if int(new_n_buckets) == int(snap["n_buckets"]):

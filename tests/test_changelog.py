@@ -111,6 +111,14 @@ def test_changelog_between_identical_snapshots_is_empty(spark, tmp_path):
     assert t.changes_between(snap_a, snap_a).count() == 0
 
 
+def test_changelog_rejects_swapped_snapshots(spark, tmp_path):
+    t, snap_a = _two_phase_table(spark, str(tmp_path / "t_swap"), "cow")
+    with pytest.raises(ValueError, match="swap the arguments"):
+        t.changes_between(t._snapshot(), snap_a)
+    with pytest.raises(ValueError, match=">= 1"):
+        t.rebucket(0)
+
+
 def test_idempotent_rerun_emits_empty_changelog(spark, tmp_path):
     """A re-delivered (already committed) epoch is a no-op merge — the
     changelog across it must be empty (exactly-once, observably)."""
