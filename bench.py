@@ -65,6 +65,7 @@ HEADLINE = [
     "pii_redaction",
     "bm25_topk",
     "dup_ngram_spans",
+    "cdc_partial_updates",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS
@@ -144,6 +145,54 @@ def bench_changelog(spark, n_events: int, epoch_size: int) -> tuple[float, float
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_partial_replay(spark, n_events: int, epoch_size: int) -> tuple[float, float]:
+    """Sparse (partial-column) CDC replay through merge_partial: each event
+    provides a deterministic subset of the tracked columns. WAL generation
+    and materialization are untimed; timed = fold + apply + commit per
+    epoch (same protocol as bench_cdc_replay)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+    from read_comp_data_pipeline_spark.operators.partial import partial_schema
+
+    tmp = tempfile.mkdtemp(prefix="bench_partial_")
+    wal_path = os.path.join(tmp, "wal")
+    try:
+        n_keys = max(n_events // 8, 1)
+        wal = spark.range(n_events).select(
+            F.col("id").alias("seq"),
+            F.concat(F.lit("r"), (F.col("id") % 64).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), (F.pmod(F.xxhash64("id"), F.lit(n_keys))).cast("string")).alias("path"),
+            F.when(F.col("id") % 97 == 0, "D").otherwise("U").alias("op"),
+            F.when(F.col("id") % 3 == 0, F.concat(F.lit("T"), F.col("id").cast("string"))).alias("title"),
+            F.when(F.col("id") % 2 == 0, F.sha2(F.col("id").cast("string"), 256)).alias("text"),
+        )
+        wal.write.mode("overwrite").parquet(wal_path)
+        schema = partial_schema(
+            [
+                T.StructField("title", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        table = HashMergeTable.create(
+            spark, os.path.join(tmp, "target"), schema, n_buckets=32, mode="cow"
+        )
+        stored = spark.read.parquet(wal_path)
+        t0 = time.monotonic()
+        for epoch in range((n_events - 1) // epoch_size + 1):
+            lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size - 1
+            sl = stored.where(F.col("seq").between(lo, hi))
+            table.merge_partial(
+                sl, epoch, ["title", "text"], src_seq_lo=lo, src_seq_hi=hi,
+                folded_broadcastable=epoch_size <= 2_000_000,
+            )
+        secs = time.monotonic() - t0
+        return secs, (n_events / secs if secs > 0 else 0.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -172,6 +221,9 @@ def main() -> None:
     per_query["cdc_changes_feed"] = round(feed_secs, 3)
     per_query["cdc_matview_fold"] = round(fold_secs, 3)
 
+    partial_secs, partial_eps = bench_partial_replay(spark, 1_000_000, 250_000)
+    per_query["cdc_partial_replay"] = round(partial_secs, 3)
+
     cow_secs, cow_eps = bench_cdc_replay(spark, BENCH_EVENTS, BENCH_EPOCH_SIZE, "cow")
     mor_secs, eps = bench_cdc_replay(spark, BENCH_EVENTS, BENCH_EPOCH_SIZE, "mor")
     per_query["cdc_replay_cow"] = round(cow_secs, 3)
@@ -189,6 +241,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "events_per_sec": round(eps, 1),
                 "events_per_sec_cow": round(cow_eps, 1),
+                "events_per_sec_partial": round(partial_eps, 1),
                 "replay_events": BENCH_EVENTS,
                 "replay_epoch_size": BENCH_EPOCH_SIZE,
             }

@@ -472,7 +472,76 @@ class HashMergeTable:
             return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit)
 
         merged = self._cow_plan(snap, src, op_col, affected, src_keys_broadcastable)
+        return self._commit_cow(
+            snap, merged, epoch, affected, src_seq_lo, src_seq_hi, t0,
+            src_rows, lag_events, pre_commit,
+        )
 
+    def merge_partial(
+        self,
+        source: DataFrame,
+        epoch: int,
+        value_cols: list[str],
+        src_seq_lo: int | None = None,
+        src_seq_hi: int | None = None,
+        op_col: str = "op",
+        affected_buckets: list[int] | None = None,
+        src_rows: int | None = None,
+        lag_events: int = 0,
+        folded_broadcastable: bool = True,
+        pre_commit=None,
+    ) -> dict[str, Any]:
+        """Apply one epoch of PARTIAL-COLUMN events (NULL tracked column =
+        "not provided" — see operators/partial.py for the full semantics).
+
+        The table must have been created with a ``partial_schema`` layout
+        (each tracked column shadowed by ``_s_<col>``); ``source`` is the
+        RAW sparse slice — it is folded here (one map-side-combinable hash
+        aggregate) and applied with per-column argmax-by-seq conflict
+        resolution, so epoch application commutes for updates and replays
+        are row-level no-ops. COW mode only: a partial event is not a
+        self-contained row image, so the MOR delta read would have to fold
+        every delta column-wise on every scan — supportable, but not the
+        write-optimized contract MOR exists for.
+        """
+        t0 = time.monotonic()
+        snap = self._snapshot()
+        if epoch <= snap["epoch"]:
+            return {"skipped": True, "epoch": epoch, "rows_applied": 0}
+        if snap.get("mode", "cow") != "cow":
+            raise NotImplementedError("merge_partial requires a cow-mode table")
+        from read_comp_data_pipeline_spark.operators.partial import (
+            apply_partial,
+            fold_partial_updates,
+        )
+
+        n_buckets = snap["n_buckets"]
+        key_cols = snap["key_cols"]
+        folded = fold_partial_updates(
+            source, value_cols, key_cols, snap.get("order_col", "seq"), op_col
+        ).withColumn("_b", bucket_expr(n_buckets, key_cols))
+        if affected_buckets is not None:
+            affected = list(affected_buckets)
+        else:
+            affected = [r["_b"] for r in folded.select("_b").distinct().collect()]
+        if not affected:
+            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit)
+        tgt = self.read(buckets=affected, at_snapshot=snap)
+        merged = apply_partial(
+            tgt, folded, value_cols, key_cols, snap.get("order_col", "seq"),
+            op_col, folded_broadcastable,
+        ).withColumn("_b", bucket_expr(n_buckets, key_cols))
+        return self._commit_cow(
+            snap, merged, epoch, affected, src_seq_lo, src_seq_hi, t0,
+            src_rows, lag_events, pre_commit,
+        )
+
+    def _commit_cow(
+        self, snap, merged: DataFrame, epoch: int, affected: list[int],
+        src_seq_lo, src_seq_hi, t0, src_rows=None, lag_events=0, pre_commit=None,
+    ) -> dict[str, Any]:
+        """Write a COW epoch's merged bucket set and commit the snapshot —
+        the shared tail of :meth:`merge` and :meth:`merge_partial`."""
         data_dir = f"data/e{epoch:010d}"
         out_path = os.path.join(self.path, data_dir)
         # one shuffle keyed by bucket → exactly one file per bucket dir

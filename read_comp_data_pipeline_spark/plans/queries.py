@@ -338,6 +338,94 @@ def _two_phase_replay(spark: SparkSession, sf_dir: str, prefix: str):
     return table, snap_a
 
 
+_CDC_PARTIAL_ORACLE = """
+    WITH wal AS (
+      SELECT event_id AS seq,
+             'u' || (user_id % 10) AS repo,
+             'p' || user_id AS path,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             CASE WHEN event_id % 3 = 0 THEN 'T:' || props END AS title,
+             CASE WHEN event_id % 2 = 0 THEN event_type || ':' || props END AS text
+      FROM events
+    ),
+    agg AS (
+      SELECT repo, path,
+             max(seq) AS seq,
+             arg_max(op, seq) AS last_op,
+             max(CASE WHEN op = 'D' THEN seq END) AS del_seq,
+             arg_max(title, CASE WHEN title IS NOT NULL AND op <> 'D' THEN seq END) AS t_v,
+             max(CASE WHEN title IS NOT NULL AND op <> 'D' THEN seq END) AS t_s,
+             arg_max(text, CASE WHEN text IS NOT NULL AND op <> 'D' THEN seq END) AS x_v,
+             max(CASE WHEN text IS NOT NULL AND op <> 'D' THEN seq END) AS x_s
+      FROM wal GROUP BY repo, path
+    )
+    SELECT repo, path,
+           CASE WHEN t_s > coalesce(del_seq, -1) THEN t_v END AS title,
+           CASE WHEN t_s > coalesce(del_seq, -1) THEN t_s END AS title_seq,
+           CASE WHEN x_s > coalesce(del_seq, -1) THEN x_v END AS text,
+           CASE WHEN x_s > coalesce(del_seq, -1) THEN x_s END AS text_seq,
+           seq
+    FROM agg WHERE last_op <> 'D'
+"""
+
+
+@_q("cdc_partial_updates", _CDC_PARTIAL_ORACLE)
+def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-column CDC MERGE (operators/partial.py): derive a SPARSE WAL
+    from `events` — each update provides `title` only when event_id % 3 = 0
+    and `text` only when event_id % 2 = 0 (NULL = "not provided", the
+    Debezium-without-full-image shape) — and replay it epoch-by-epoch
+    through ``HashMergeTable.merge_partial``. Final state: per key, each
+    column independently holds the LATEST value that provided it (post the
+    last delete), with its shadow seq.
+
+    The oracle folds the whole WAL in one shot (per-column arg_max masked
+    by the last delete) — a value-exact match proves the epoch-by-epoch
+    column-level conflict resolution converges to the global fold.
+
+    Scale shape: the fold is ONE map-side-combinable aggregate per epoch;
+    the apply streams the target through broadcast probes (never shuffles
+    or sorts the table side) — see the operators/partial.py module note."""
+    from pyspark.sql import types as T
+    from read_comp_data_pipeline_spark.operators.partial import partial_schema
+
+    ev = load(spark, sf_dir, "events")
+    wal = ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("T:"), F.col("props"))).alias("title"),
+        F.when(F.col("event_id") % 2 == 0, F.concat_ws(":", "event_type", "props")).alias("text"),
+    )
+    n = int(wal.agg(F.max("seq")).first()[0] or 0)
+    epoch_size = max(2500, (n + 1) // 16 + 1)
+    schema = partial_schema(
+        [
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    table = HashMergeTable.create(
+        spark, tempfile.mkdtemp(prefix="cdc_partial_"), schema, n_buckets=8, mode="cow"
+    )
+    for epoch in range(n // epoch_size + 1):
+        lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size - 1
+        sl = wal.where(F.col("seq").between(lo, hi))
+        table.merge_partial(sl, epoch, ["title", "text"], src_seq_lo=lo, src_seq_hi=hi)
+    return table.read().select(
+        "repo", "path",
+        "title", F.col("_s_title").alias("title_seq"),
+        "text", F.col("_s_text").alias("text_seq"),
+        "seq",
+    )
+
+
 @_q(
     "hour_rotation_metrics",
     """
@@ -2396,7 +2484,8 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_FIRST_50 = [
     # CDC core / engine
     "cdc_compact_latest", "cdc_replay_final_state", "cdc_changes_between",
-    "cdc_incremental_agg", "hour_rotation_metrics", "events_sessionize",
+    "cdc_incremental_agg", "cdc_partial_updates",
+    "hour_rotation_metrics", "events_sessionize",
     # relational engine (TPC-H-style representatives)
     "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
     "rollup_order_status", "window_top_suppliers",
@@ -2416,8 +2505,10 @@ _GATE_FIRST_50 = [
     "simhash_hamming_pairs", "dup_ngram_spans", "eval_contamination",
     # ANN / embeddings
     "ann_lsh_topk", "ann_ivf_topk", "emb_near_dup_lsh",
-    # temporal joins
-    "asof_join_prev_purchase", "asof_join_prev_purchase_sliced",
+    # temporal joins (r5 swap: the unsliced AS-OF demoted — the sliced
+    # variant is the same operator's scale path and keeps the family's
+    # driver row — to gate the new partial-update CDC family)
+    "asof_join_prev_purchase_sliced",
     "range_join_error_burst",
     # sketches / profiling
     "approx_key_cardinality", "approx_price_quantiles",
@@ -2460,6 +2551,10 @@ _BEYOND_GATE = [
     "emb_near_dup_pairs",          # superseded by emb_near_dup_lsh
     "w1_sections_relational",      # twin of w1_sections_udf (same oracle)
     "page_metadata_struct",        # ⊂ page_metadata_full
+    "asof_join_prev_purchase",     # r5 swap: unsliced AS-OF — same operator
+                                   # as the gated _sliced variant (its exact
+                                   # oracle stays local-checked); demoted to
+                                   # gate cdc_partial_updates
     # round-5 compositions/extensions of gated families (each reuses gated
     # operators or the gated hash/window discipline; local-oracle-gated)
     "bm25_topk",                   # lexical retrieval; top-k + agg

@@ -1,0 +1,269 @@
+"""Partial-column (sparse) update battery — operators/partial.py +
+HashMergeTable.merge_partial.
+
+Ground truth is a tiny pure-Python cell-store interpreter (`_truth`):
+per (key, column) keep the latest provided (seq, value); a delete wipes
+older cells and removes the row if final. Every Spark result is compared
+against it value-exactly.
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+from read_comp_data_pipeline_spark.operators.partial import (
+    apply_partial,
+    fold_partial_updates,
+    partial_schema,
+    shadow_col,
+)
+
+VALUE_COLS = ["title", "text"]
+EVENT_SCHEMA = (
+    "seq long, repo string, path string, op string, title string, text string"
+)
+
+
+def _truth(events):
+    """Reference interpreter: events = [(seq, repo, path, op, title, text)]
+    in any order; returns {key: {'title': (v, s)|None, 'text': ..., 'seq': n}}
+    for live rows (delete-final keys absent)."""
+    state: dict = {}
+    for seq, repo, path, op, title, text in sorted(events):
+        k = (repo, path)
+        cells = state.setdefault(k, {"title": None, "text": None, "seq": -1})
+        cells["seq"] = max(cells["seq"], seq)
+        if op == "D":
+            cells["title"] = cells["text"] = None
+            cells["deleted"] = True
+            continue
+        cells["deleted"] = False
+        for col, v in (("title", title), ("text", text)):
+            if v is not None:
+                cells[col] = (v, seq)
+    return {
+        k: c for k, c in state.items() if not c.get("deleted", False)
+    }
+
+
+def _rows_from_table(df):
+    out = {}
+    for r in df.collect():
+        out[(r["repo"], r["path"])] = {
+            "title": (r["title"], r[shadow_col("title")]) if r["title"] is not None else None,
+            "text": (r["text"], r[shadow_col("text")]) if r["text"] is not None else None,
+            "seq": r["seq"],
+        }
+    return out
+
+
+def _assert_matches(df, events):
+    got = _rows_from_table(df)
+    want = _truth(events)
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k, w in want.items():
+        g = got[k]
+        assert g["title"] == w["title"], (k, g["title"], w["title"])
+        assert g["text"] == w["text"], (k, g["text"], w["text"])
+        assert g["seq"] == w["seq"], (k, g["seq"], w["seq"])
+
+
+def _random_events(seed: int, n: int = 300, keys: int = 30):
+    rng = random.Random(seed)
+    evs = []
+    for seq in range(n):
+        kid = rng.randrange(keys)
+        op = rng.choices(["I", "U", "D"], weights=[1, 7, 1])[0]
+        title = f"t{seq}" if op != "D" and rng.random() < 0.4 else None
+        text = f"x{seq}" if op != "D" and rng.random() < 0.6 else None
+        evs.append((seq, f"r{kid % 3}", f"p{kid}", op, title, text))
+    return evs
+
+
+def _make_table(spark, prefix: str) -> HashMergeTable:
+    schema = partial_schema(
+        [
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    return HashMergeTable.create(
+        spark, tempfile.mkdtemp(prefix=prefix), schema, n_buckets=4, mode="cow"
+    )
+
+
+# ── fold ─────────────────────────────────────────────────────────────────────
+
+
+def test_fold_latest_provided_value_per_column(spark):
+    evs = [
+        (1, "r", "p", "I", "t1", "x1"),
+        (2, "r", "p", "U", None, "x2"),
+        (3, "r", "p", "U", "t3", None),
+    ]
+    f = fold_partial_updates(spark.createDataFrame(evs, EVENT_SCHEMA), VALUE_COLS)
+    r = f.collect()[0]
+    assert (r["title"], r[shadow_col("title")]) == ("t3", 3)
+    assert (r["text"], r[shadow_col("text")]) == ("x2", 2)
+    assert (r["seq"], r["op"]) == (3, "U")
+
+
+def test_fold_delete_masks_older_values(spark):
+    evs = [
+        (1, "r", "p", "U", "t1", "x1"),
+        (2, "r", "p", "D", None, None),
+        (3, "r", "p", "U", None, "x3"),
+    ]
+    r = fold_partial_updates(
+        spark.createDataFrame(evs, EVENT_SCHEMA), VALUE_COLS
+    ).collect()[0]
+    assert r["title"] is None and r[shadow_col("title")] is None  # pre-delete
+    assert (r["text"], r[shadow_col("text")]) == ("x3", 3)  # post-delete
+    assert r["op"] == "U" and r["_del_seq"] == 2
+
+
+def test_fold_is_one_mapside_combinable_aggregate(spark):
+    evs = _random_events(0)
+    df = fold_partial_updates(spark.createDataFrame(evs, EVENT_SCHEMA), VALUE_COLS)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in phys, phys
+    # partial (map-side) aggregation before the exchange — the skew answer
+    assert phys.count("HashAggregate") >= 2 or "SortAggregate" in phys, phys
+    assert "Exchange" in phys
+
+
+# ── apply: replay through the table ─────────────────────────────────────────
+
+
+def _replay(spark, table, events, epoch_size=60, order=None):
+    """Replay in epoch slices. ``order`` permutes the SLICES (late-arriving
+    WAL ranges) while commit epoch ids stay monotone — the table's epoch
+    watermark rejects non-monotone epoch ids by design, but slice content
+    may arrive in any order."""
+    n_epochs = (max(e[0] for e in events) // epoch_size) + 1
+    slices = list(range(n_epochs))
+    if order is not None:
+        slices = order
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+    for commit_epoch, sl_id in enumerate(slices):
+        lo, hi = sl_id * epoch_size, (sl_id + 1) * epoch_size - 1
+        sl = df.where(F.col("seq").between(lo, hi))
+        table.merge_partial(sl, commit_epoch, VALUE_COLS, src_seq_lo=lo, src_seq_hi=hi)
+    return table
+
+
+def test_partial_replay_matches_interpreter(spark):
+    evs = _random_events(1)
+    t = _replay(spark, _make_table(spark, "pt_replay_"), evs)
+    _assert_matches(t.read(), evs)
+
+
+def test_partial_update_does_not_clobber_unset_columns(spark):
+    evs = [
+        (1, "r", "p", "I", "t1", "x1"),
+        (70, "r", "p", "U", None, "x70"),  # second epoch: text only
+    ]
+    t = _replay(spark, _make_table(spark, "pt_noclobber_"), evs)
+    r = t.read().collect()[0]
+    assert (r["title"], r[shadow_col("title")]) == ("t1", 1)  # survived
+    assert (r["text"], r[shadow_col("text")]) == ("x70", 70)
+    assert r["seq"] == 70
+
+
+def test_partial_replay_idempotent(spark):
+    evs = _random_events(2)
+    t = _replay(spark, _make_table(spark, "pt_idem_"), evs)
+    before = sorted(map(tuple, t.read().collect()))
+    # re-merge every epoch: all must skip, state bit-identical
+    df = spark.createDataFrame(evs, EVENT_SCHEMA)
+    for ep in range(5):
+        res = t.merge_partial(df, ep, VALUE_COLS)
+        assert res["skipped"], res
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_epoch_permutations_commute_for_updates(spark):
+    """Per-column argmax conflict resolution makes UPDATE application
+    order-insensitive: any epoch permutation converges bit-identically
+    (deletes keep the engine's monotone contract and are excluded here)."""
+    evs = [e for e in _random_events(3) if e[3] != "D"]
+    states = []
+    for perm_seed in range(3):
+        order = list(range(5))
+        random.Random(perm_seed).shuffle(order)
+        t = _replay(spark, _make_table(spark, f"pt_perm{perm_seed}_"), evs, order=order)
+        states.append(sorted(map(tuple, t.read().collect())))
+    assert states[0] == states[1] == states[2]
+    _assert_matches_rows = _truth(evs)
+    assert len(states[0]) == len(_assert_matches_rows)
+
+
+def test_delete_then_sparse_reinsert_across_epochs(spark):
+    evs = [
+        (1, "r", "p", "I", "t1", "x1"),
+        (65, "r", "p", "D", None, None),   # epoch 1: delete
+        (130, "r", "p", "U", None, "x130"),  # epoch 2: sparse re-insert
+    ]
+    t = _replay(spark, _make_table(spark, "pt_del_"), evs)
+    r = t.read().collect()[0]
+    assert r["title"] is None  # pre-delete value did not resurrect
+    assert (r["text"], r["seq"]) == ("x130", 130)
+
+
+def test_final_delete_removes_row(spark):
+    evs = [(1, "r", "p", "I", "t1", "x1"), (65, "r", "p", "D", None, None)]
+    t = _replay(spark, _make_table(spark, "pt_gone_"), evs)
+    assert t.read().count() == 0
+
+
+def test_apply_partial_target_never_shuffles(spark):
+    """Scale shape: the target leaves via broadcast anti/inner joins only —
+    no Exchange on the target lineage, no sort anywhere."""
+    tgt_schema = partial_schema(
+        [
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    tgt = spark.createDataFrame(
+        [("r", "p", "t", 1, "x", 1, 1)], tgt_schema
+    )
+    folded = fold_partial_updates(
+        spark.createDataFrame([(2, "r", "p", "U", "t2", None)], EVENT_SCHEMA),
+        VALUE_COLS,
+    )
+    out = apply_partial(tgt, folded, VALUE_COLS)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # every join is a broadcast probe — the table side streams through
+    assert phys.count("BroadcastHashJoin") >= 3, phys
+    assert "SortMergeJoin" not in phys, phys
+    assert "ShuffledHashJoin" not in phys, phys
+    # the only Sorts allowed are the fold's SortAggregate over the
+    # epoch-sized slice (string-valued max_by — the compact.py "agg"
+    # trade); they sort by the GROUP keys, never by join keys (an SMJ
+    # leftover would sort both sides on the join keys)
+    for line in phys.splitlines():
+        if "Sort " in line and "SortAggregate" not in line:
+            assert "Sort [repo" in line or "rowOrdering" in line, line
+
+
+def test_merge_partial_requires_cow(spark):
+    schema = partial_schema([T.StructField("title", T.StringType(), True)])
+    t = HashMergeTable.create(
+        spark, tempfile.mkdtemp(prefix="pt_mor_"), schema, n_buckets=2, mode="mor"
+    )
+    with pytest.raises(NotImplementedError):
+        t.merge_partial(
+            spark.createDataFrame(
+                [(1, "r", "p", "U", "t")],
+                "seq long, repo string, path string, op string, title string",
+            ),
+            0,
+            ["title"],
+        )

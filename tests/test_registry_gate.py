@@ -15,6 +15,7 @@ FAMILY_REPRESENTATIVES = [
     "cdc_replay_final_state",        # the engine itself (S1-S8)
     "cdc_changes_between",           # changelog emission / CDF (r5)
     "cdc_incremental_agg",           # incremental matview maintenance (r5)
+    "cdc_partial_updates",           # partial-column CDC merge (r5)
     "hour_rotation_metrics",         # W3
     "events_sessionize",             # sessionization
     "q1_pricing_summary",            # agg engine
@@ -57,8 +58,9 @@ FAMILY_REPRESENTATIVES = [
     "ann_lsh_topk",                  # LSH ANN
     "ann_ivf_topk",                  # IVF ANN
     "emb_near_dup_lsh",              # embedding near-dup
-    "asof_join_prev_purchase",       # AS-OF join
-    "asof_join_prev_purchase_sliced",  # skew-sliced AS-OF
+    # r5: the unsliced AS-OF demoted — the sliced variant is the same
+    # operator's scale path and keeps the family's driver row
+    "asof_join_prev_purchase_sliced",  # AS-OF join (skew-sliced)
     "range_join_error_burst",        # banded range join
     "approx_key_cardinality",        # HLL
     "approx_price_quantiles",        # GK sketch
