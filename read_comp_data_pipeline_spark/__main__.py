@@ -28,6 +28,9 @@ Commands:
               changelog (exactly-once, resumable, work ∝ changes)
   rebucket  — partition-spec evolution: rewrite into a new bucket count
               as one committed snapshot
+  sort-order — declare the table sort order (metadata-only commit);
+              subsequent rewrites cluster rows within buckets so parquet
+              row-group zone maps prune value predicates
   history   — all retained versions of one key across snapshots
               (row-granular time travel)
   dedup-store  — build the near-dup signature store for a document corpus
@@ -88,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True,
                    help="new bucket count (partition-spec evolution)")
+
+    p = sub.add_parser("sort-order")
+    p.add_argument("--table", required=True)
+    p.add_argument("--by", nargs="*", default=[],
+                   help="sort columns (empty clears the declared order)")
 
     p = sub.add_parser("history")
     p.add_argument("--table", required=True)
@@ -201,6 +209,10 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).rebucket(args.buckets)))
+    elif args.cmd == "sort-order":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).set_sort_order(args.by)))
     elif args.cmd == "history":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -131,6 +131,8 @@ class HashMergeTable:
         key_cols: list[str] | None = None,
         mode: str = "cow",
         order_col: str = "seq",
+        sort_order: list[str] | None = None,
+        write_options: dict[str, str] | None = None,
     ) -> "HashMergeTable":
         """``mode``:
 
@@ -159,6 +161,10 @@ class HashMergeTable:
             "buckets": {},  # bucket -> {dir, schema_id, rows}
             "deltas": [],  # ordered [{dir, schema_id, epoch}] (mor mode)
             "seq_hi": -1,  # highest applied source seq (stream idempotency)
+            # within-bucket clustering: rewrites sort rows by these columns
+            # so parquet row-group zone maps prune range/point predicates
+            "sort_order": list(sort_order) if sort_order else [],
+            "write_options": dict(write_options) if write_options else {},
         }
         t = cls(spark, path)
         t._commit_snapshot(snap)
@@ -544,15 +550,7 @@ class HashMergeTable:
         the shared tail of :meth:`merge` and :meth:`merge_partial`."""
         data_dir = f"data/e{epoch:010d}"
         out_path = os.path.join(self.path, data_dir)
-        # one shuffle keyed by bucket → exactly one file per bucket dir
-        # (without it: shuffle_partitions × n_buckets tiny files, and the
-        # next epoch's read pays for every one of them)
-        (
-            merged.repartition(len(affected), F.col("_b"))
-            .write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(out_path)
-        )
+        self._write_bucketed(snap, merged, len(affected), out_path)
         # per-bucket lineage counts from the committed files: reading the
         # partition column + footers only, never re-running the source plan
         bucket_rows = self._written_bucket_counts(out_path)
@@ -615,6 +613,53 @@ class HashMergeTable:
             "buckets_touched": len(affected),
             "secs": secs,
         }
+
+    def _write_bucketed(
+        self, snap: dict, merged: DataFrame, n_parts: int, out_path: str
+    ) -> None:
+        """Shared bucket-partitioned data write (COW epochs, MOR compaction,
+        rebucket): one shuffle keyed by bucket → exactly one file per bucket
+        dir (without it: shuffle_partitions × n_buckets tiny files, and the
+        next epoch's read pays for every one of them).
+
+        Honors the snapshot's declared ``sort_order`` (Iceberg-style table
+        sort order): rows are sorted WITHIN each bucket task before the
+        write, so every data file's parquet row groups carry tight,
+        non-overlapping min/max zone maps on the sort columns — a range or
+        point predicate then skips whole row groups at scan time instead
+        of decoding the bucket. Costs one in-task sort per rewritten
+        bucket, off the MOR hot path (delta appends stay unsorted; the
+        sort applies when compaction folds them — the Iceberg model where
+        sort orders bind to rewrites, not hot appends). ``write_options``
+        (e.g. parquet.block.size) tune row-group granularity: smaller row
+        groups = finer skipping, more footer metadata.
+        """
+        shuffled = merged.repartition(n_parts, F.col("_b"))
+        sort_order = snap.get("sort_order") or []
+        if sort_order:
+            shuffled = shuffled.sortWithinPartitions("_b", *sort_order)
+        writer = shuffled.write.mode("overwrite")
+        for k, v in (snap.get("write_options") or {}).items():
+            writer = writer.option(k, str(v))
+        writer.partitionBy("_b").parquet(out_path)
+
+    def set_sort_order(self, sort_order: list[str] | None) -> dict[str, Any]:
+        """Declare (or clear) the table sort order — a METADATA-ONLY commit,
+        like schema evolution: existing files keep their layout; every
+        subsequent rewrite (COW epoch, compaction, rebucket) emits files
+        sorted by these columns. Run :meth:`compact_table` (mor) or
+        :meth:`rebucket` (same bucket count is rejected — use any rewrite)
+        to re-cluster history immediately."""
+        snap = self._snapshot()
+        cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        have = {f.name for f in cur.fields}
+        for c in sort_order or []:
+            if c not in have:
+                raise ValueError(f"sort_order column {c!r} not in table schema")
+        snap["sort_order"] = list(sort_order) if sort_order else []
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {"sort_order": snap["sort_order"]}
 
     def _cow_plan(
         self,
@@ -796,12 +841,7 @@ class HashMergeTable:
             "_b", bucket_expr(n_buckets, snap["key_cols"])
         )
         data_dir = f"data/c{snap['version']:010d}"
-        (
-            merged.repartition(n_buckets, F.col("_b"))
-            .write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(os.path.join(self.path, data_dir))
-        )
+        self._write_bucketed(snap, merged, n_buckets, os.path.join(self.path, data_dir))
         bucket_rows = self._written_bucket_counts(os.path.join(self.path, data_dir))
         snap["buckets"] = {
             str(b): {
@@ -839,11 +879,8 @@ class HashMergeTable:
             "_b", bucket_expr(new_n_buckets, snap["key_cols"])
         )
         data_dir = f"data/r{snap['version']:010d}"
-        (
-            merged.repartition(int(new_n_buckets), F.col("_b"))
-            .write.mode("overwrite")
-            .partitionBy("_b")
-            .parquet(os.path.join(self.path, data_dir))
+        self._write_bucketed(
+            snap, merged, int(new_n_buckets), os.path.join(self.path, data_dir)
         )
         bucket_rows = self._written_bucket_counts(os.path.join(self.path, data_dir))
         snap["buckets"] = {
