@@ -28,6 +28,8 @@ Commands:
               changelog (exactly-once, resumable, work ∝ changes)
   rebucket  — partition-spec evolution: rewrite into a new bucket count
               as one committed snapshot
+  constraint — declare/drop/list named CHECK expectations over incoming
+              WAL rows; violating rows quarantine instead of committing
   sort-order — declare the table sort order (metadata-only commit);
               subsequent rewrites cluster rows within buckets so parquet
               row-group zone maps prune value predicates
@@ -96,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--by", nargs="*", default=[],
                    help="sort columns (empty clears the declared order)")
+
+    p = sub.add_parser("constraint")
+    p.add_argument("--table", required=True)
+    p.add_argument("--set", nargs=2, metavar=("NAME", "EXPR"), default=None,
+                   help="declare/replace a CHECK expectation (boolean SQL)")
+    p.add_argument("--drop", metavar="NAME", default=None)
 
     p = sub.add_parser("history")
     p.add_argument("--table", required=True)
@@ -213,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).set_sort_order(args.by)))
+    elif args.cmd == "constraint":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        if args.set is not None:
+            print(json.dumps(t.set_constraint(args.set[0], args.set[1])))
+        elif args.drop is not None:
+            print(json.dumps(t.drop_constraint(args.drop)))
+        else:
+            print(json.dumps({"constraints": t.constraints}))
     elif args.cmd == "history":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

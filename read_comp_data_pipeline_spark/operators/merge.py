@@ -133,6 +133,7 @@ class HashMergeTable:
         order_col: str = "seq",
         sort_order: list[str] | None = None,
         write_options: dict[str, str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "HashMergeTable":
         """``mode``:
 
@@ -165,6 +166,9 @@ class HashMergeTable:
             # so parquet row-group zone maps prune range/point predicates
             "sort_order": list(sort_order) if sort_order else [],
             "write_options": dict(write_options) if write_options else {},
+            # named CHECK expectations over incoming WAL rows; the ingest
+            # loop quarantines violating rows instead of committing them
+            "constraints": dict(constraints) if constraints else {},
         }
         t = cls(spark, path)
         t._commit_snapshot(snap)
@@ -642,6 +646,49 @@ class HashMergeTable:
         for k, v in (snap.get("write_options") or {}).items():
             writer = writer.option(k, str(v))
         writer.partitionBy("_b").parquet(out_path)
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """Named CHECK expectations (boolean SQL over incoming WAL rows,
+        standard CHECK semantics: NULL passes, only FALSE violates)."""
+        return dict(self._snapshot().get("constraints") or {})
+
+    def set_constraint(self, name: str, expr: str) -> dict[str, Any]:
+        """Declare (or replace) a named CHECK expectation — metadata-only
+        commit, like Delta's ADD CONSTRAINT: rows of SUBSEQUENT epochs that
+        violate it are quarantined by the ingest loop (error
+        ``constraint:<name>``, normal attempt escalation to dead letters);
+        already-committed rows are not re-validated. The expression is
+        parse-checked here (F.expr parses lazily in PySpark 4, so the
+        session parser is asked directly); unresolvable column references
+        fail loudly at first enforcement."""
+        try:
+            parser = self.spark._jsparkSession.sessionState().sqlParser()
+        except AttributeError:  # non-classic session (e.g. Connect)
+            parser = None
+        if parser is not None:
+            try:
+                parser.parseExpression(expr)
+            except Exception as e:
+                raise ValueError(f"constraint {name!r} does not parse: {e}") from None
+        snap = self._snapshot()
+        cons = dict(snap.get("constraints") or {})
+        cons[str(name)] = str(expr)
+        snap["constraints"] = cons
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {"constraints": cons}
+
+    def drop_constraint(self, name: str) -> dict[str, Any]:
+        snap = self._snapshot()
+        cons = dict(snap.get("constraints") or {})
+        if name not in cons:
+            raise KeyError(f"no constraint named {name!r}")
+        del cons[name]
+        snap["constraints"] = cons
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {"constraints": cons}
 
     def set_sort_order(self, sort_order: list[str] | None) -> dict[str, Any]:
         """Declare (or clear) the table sort order — a METADATA-ONLY commit,

@@ -114,6 +114,28 @@ def default_validator(df: DataFrame):
     )
 
 
+def constraints_validator(constraints: dict[str, str], base=default_validator):
+    """Compile named CHECK expectations (table.constraints — boolean SQL
+    over WAL rows) into a validator Column for :func:`validate_slice`.
+
+    Standard CHECK semantics: a row violates a constraint only when the
+    expression evaluates to FALSE — NULL passes (the SQL standard, and
+    Delta's). Structural ``base`` errors win over constraint names;
+    constraints are checked in sorted-name order so the reported error is
+    deterministic. Everything stays one codegen'd when-chain — no extra
+    job, no UDF; violations ride the existing quarantine machinery
+    (attempt escalation → dead letters, requeue after a fix)."""
+
+    def validator(df: DataFrame):
+        err = base(df) if base is not None else F.when(F.lit(False), F.lit(""))
+        for name in sorted(constraints):
+            ok = F.coalesce(F.expr(constraints[name]).cast("boolean"), F.lit(True))
+            err = F.when(err.isNotNull(), err).when(~ok, F.lit(f"constraint:{name}"))
+        return err
+
+    return validator
+
+
 def validate_slice(
     slice_df: DataFrame, validator=None, observation=None
 ) -> tuple[DataFrame, DataFrame]:
@@ -259,6 +281,14 @@ def run_ingest(
         HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets, mode=mode)
     table = HashMergeTable(spark, table_path)
 
+    # table-declared CHECK expectations: auto-enforced when quarantining
+    # and the caller didn't bring their own validator (an explicit
+    # validator takes full responsibility, constraints included)
+    if quarantine and validator is None:
+        declared = table.constraints
+        if declared:
+            validator = constraints_validator(declared)
+
     # CPU-heavy per-row extraction wants more, smaller scan splits than the
     # I/O-oriented 128MB default — the scan IS the UDF's parallelism now
     # (no pre-UDF repartition shuffle). Restored on exit.
@@ -372,10 +402,18 @@ def _run_epochs(
                     # hang forever here — so when the metric is not yet
                     # populated, count the bad rows directly instead (one
                     # extra job on that cold path only; ADVICE r4).
-                    if q_obs._jo is None or q_obs._jo.getRowOrEmpty().isEmpty():
+                    try:
+                        if q_obs._jo is None or q_obs._jo.getRowOrEmpty().isEmpty():
+                            n_bad = bad.count()
+                        else:
+                            n_bad = int(q_obs.get["bad_rows"] or 0)
+                    except Exception:
+                        # Spark 4.1's toPyRow asserts on the metrics row an
+                        # empty-relation short-circuit plan produces (an
+                        # ALL-bad epoch: good branch empty → the consuming
+                        # action collected nothing) — fall back to the
+                        # direct count, same cost class as the cold path
                         n_bad = bad.count()
-                    else:
-                        n_bad = int(q_obs.get["bad_rows"] or 0)
                     if n_bad > 0:
                         bad.withColumn("status", status_col).write.mode(
                             "overwrite"
