@@ -30,6 +30,8 @@ Commands:
               as one committed snapshot
   constraint — declare/drop/list named CHECK expectations over incoming
               WAL rows; violating rows quarantine instead of committing
+  tag       — pin the current snapshot under a name (named time travel;
+              tagged snapshots and their data survive vacuum)
   sort-order — declare the table sort order (metadata-only commit);
               subsequent rewrites cluster rows within buckets so parquet
               row-group zone maps prune value predicates
@@ -103,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--set", nargs=2, metavar=("NAME", "EXPR"), default=None,
                    help="declare/replace a CHECK expectation (boolean SQL)")
+    p.add_argument("--drop", metavar="NAME", default=None)
+
+    p = sub.add_parser("tag")
+    p.add_argument("--table", required=True)
+    p.add_argument("--set", metavar="NAME", default=None,
+                   help="pin the current snapshot under NAME (vacuum-proof)")
     p.add_argument("--drop", metavar="NAME", default=None)
 
     p = sub.add_parser("history")
@@ -231,6 +239,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(t.drop_constraint(args.drop)))
         else:
             print(json.dumps({"constraints": t.constraints}))
+    elif args.cmd == "tag":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        if args.set is not None:
+            print(json.dumps(t.set_tag(args.set)))
+        elif args.drop is not None:
+            print(json.dumps(t.drop_tag(args.drop)))
+        else:
+            print(json.dumps({"tags": t.tags()}))
     elif args.cmd == "history":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -1039,15 +1039,75 @@ class HashMergeTable:
             )
         return max(cands, key=lambda s: int(s["version"]))
 
+    # -- tags (named time travel) -----------------------------------------------
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot pins: {tag: snapshot version} (Iceberg tags).
+        Tagged snapshots survive vacuum until the tag is dropped."""
+        p = os.path.join(self.path, "TAGS")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = os.path.join(self.path, f".TAGS.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, "TAGS"))
+
+    def set_tag(self, name: str, version: int | None = None) -> dict[str, Any]:
+        """Pin a snapshot under a name (default: the current one) —
+        audit/reproducibility handles ("the corpus train-v3 was built
+        from"): ``read(at_snapshot=snapshot_by_tag(name))`` forever
+        resolves the same rows, because vacuum keeps tagged snapshots and
+        the data they reference until the tag is dropped."""
+        versions = {int(s["version"]) for s in self.snapshots()}
+        v = int(self._snapshot()["version"]) if version is None else int(version)
+        if v not in versions:
+            raise ValueError(f"no retained snapshot with version {v}")
+        tags = self.tags()
+        tags[str(name)] = v
+        self._write_tags(tags)
+        return {"tags": tags}
+
+    def drop_tag(self, name: str) -> dict[str, Any]:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag named {name!r}")
+        del tags[name]
+        self._write_tags(tags)
+        return {"tags": tags}
+
+    def snapshot_by_tag(self, name: str) -> dict[str, Any]:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag named {name!r}")
+        for s in self.snapshots():
+            if int(s["version"]) == tags[name]:
+                return s
+        raise ValueError(f"tag {name!r} points at version {tags[name]}, "
+                         "which is no longer retained")
+
     def vacuum(self, keep_snapshots: int = 1) -> dict[str, Any]:
         """Delete data directories unreferenced by the last ``keep_snapshots``
         snapshots, and the expired snapshot files. Safe ordering: the
         CURRENT pointer is never touched; only files no retained snapshot
-        references are removed (Iceberg expire_snapshots analogue)."""
+        references are removed (Iceberg expire_snapshots analogue).
+        Tagged snapshots (and everything they reference) are always kept."""
         import shutil
 
         snaps = self.snapshots()
         keep = snaps[-keep_snapshots:] if keep_snapshots > 0 else snaps[-1:]
+        tagged = set(self.tags().values())
+        if tagged:
+            kept_versions = {int(s["version"]) for s in keep}
+            keep = keep + [
+                s for s in snaps
+                if int(s["version"]) in tagged and int(s["version"]) not in kept_versions
+            ]
         referenced: set[str] = set()
         for s in keep:
             for e in s["buckets"].values():
