@@ -114,3 +114,68 @@ def stream_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def stream_ingest_partial(
+    spark: SparkSession,
+    wal_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    value_cols: list[str],
+    event_schema,
+    key_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """Structured-Streaming ingest of a SPARSE (partial-column) CDC feed:
+    readStream over the WAL directory → foreachBatch → merge_partial
+    (operators/partial.py), Trigger.AvailableNow.
+
+    Exactly-once is keyed on source data with an even stronger guarantee
+    than the full-row variant above: merge_partial resolves conflicts
+    per COLUMN by shadow seq, so after a checkpoint loss a mixed replayed
+    batch no-ops cell-by-cell — the replayed prefix can't clobber a column
+    a newer batch already set. The ``seq_hi`` watermark still short-cuts
+    pure replays for free.
+
+    ``event_schema``: the sparse WAL's StructType (keys + op + seq + the
+    tracked columns, NULL = not provided). The table is created with the
+    matching ``partial_schema`` layout on first run.
+    """
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.operators.partial import partial_schema
+
+    key_cols = key_cols or ["repo", "path"]
+    if not HashMergeTable.exists(table_path):
+        value_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in event_schema.fields
+            if f.name in value_cols
+        ]
+        HashMergeTable.create(
+            spark, table_path, partial_schema(value_fields, key_cols),
+            n_buckets=n_buckets, key_cols=key_cols, mode="cow",
+        )
+    table = HashMergeTable(spark, table_path)
+    stream = spark.readStream.schema(event_schema).parquet(wal_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            lo, hi, n = batch_df.agg(F.min("seq"), F.max("seq"), F.count("*")).first()
+            if not n or hi <= table.last_seq_hi:
+                return
+            table.merge_partial(
+                batch_df, table.last_epoch + 1, value_cols,
+                src_seq_lo=int(lo), src_seq_hi=int(hi),
+            )
+        finally:
+            batch_df.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_path, "cp"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

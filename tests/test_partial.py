@@ -267,3 +267,49 @@ def test_merge_partial_requires_cow(spark):
             0,
             ["title"],
         )
+
+
+# ── Structured Streaming composition ─────────────────────────────────────────
+
+
+def test_stream_partial_matches_batch_and_survives_checkpoint_loss(spark, tmp_path):
+    """stream_ingest_partial == epoch-loop merge_partial on the same sparse
+    WAL; after a checkpoint-directory loss the replayed mixed batch no-ops
+    cell-by-cell (per-column seq awareness) while new files apply."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.streaming.stream import stream_ingest_partial
+
+    event_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    evs = _random_events(7, n=200, keys=25)
+    wal = str(tmp_path / "wal")
+    df = spark.createDataFrame([(s, r, p, o, t, x) for s, r, p, o, t, x in evs], event_schema)
+    # two initial files so the stream sees multiple batches worth of input
+    df.where(F.col("seq") < 100).coalesce(1).write.mode("append").parquet(wal)
+    df.where(F.col("seq").between(100, 149)).coalesce(1).write.mode("append").parquet(wal)
+
+    tbl_s = str(tmp_path / "ts")
+    cp = str(tmp_path / "cp")
+    stream_ingest_partial(spark, wal, tbl_s, cp, VALUE_COLS, event_schema, n_buckets=4)
+
+    # checkpoint loss + late tail: replayed rows must no-op, tail applies
+    shutil.rmtree(cp)
+    df.where(F.col("seq") >= 150).coalesce(1).write.mode("append").parquet(wal)
+    stream_ingest_partial(spark, wal, tbl_s, cp, VALUE_COLS, event_schema, n_buckets=4)
+
+    got = sorted(map(tuple, HashMergeTable(spark, tbl_s).read().collect()))
+    batch_t = _replay(spark, _make_table(spark, "pt_sb_"), evs, epoch_size=50)
+    want = sorted(map(tuple, batch_t.read().collect()))
+    assert got == want
+    _assert_matches(batch_t.read(), evs)
