@@ -313,3 +313,31 @@ def test_stream_partial_matches_batch_and_survives_checkpoint_loss(spark, tmp_pa
     want = sorted(map(tuple, batch_t.read().collect()))
     assert got == want
     _assert_matches(batch_t.read(), evs)
+
+
+def test_partial_table_composes_with_changelog_and_rebucket(spark):
+    """Maintenance surfaces work unchanged on a partial-update table:
+    changes_between classifies per-column updates as row-level
+    update_before/after pairs; rebucket preserves values AND shadow seqs."""
+    t = HashMergeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="pt_mix_"),
+        partial_schema([T.StructField("title", T.StringType(), True)]),
+        n_buckets=2,
+        mode="cow",
+    )
+    E = "seq long, repo string, path string, op string, title string"
+    t.merge_partial(
+        spark.createDataFrame([(1, "r", "a", "I", "t1"), (2, "r", "b", "I", "t2")], E),
+        0, ["title"],
+    )
+    snap_a = t._snapshot()
+    t.merge_partial(
+        spark.createDataFrame([(3, "r", "a", "U", "t3"), (4, "r", "c", "I", "t4")], E),
+        1, ["title"],
+    )
+    ch = sorted((r["path"], r["_change_type"]) for r in t.changes_between(snap_a).collect())
+    assert ch == [("a", "update_after"), ("a", "update_before"), ("c", "insert")]
+    assert t.rebucket(4)["n_buckets"] == 4
+    state = sorted((r["path"], r["title"], r[shadow_col("title")]) for r in t.read().collect())
+    assert state == [("a", "t3", 3), ("b", "t2", 2), ("c", "t4", 4)]
