@@ -365,11 +365,16 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         t = HashMergeTable(spark, args.table)
+        snap = t._snapshot()
         print(json.dumps({
             "rows": t.read().count(),
             "last_epoch": t.last_epoch,
             "n_buckets": t.n_buckets,
             "schema": [f.name for f in t.schema.fields],
+            "mode": snap.get("mode", "cow"),
+            "sort_order": snap.get("sort_order") or [],
+            "constraints": snap.get("constraints") or {},
+            "tags": t.tags(),
         }))
         t.manifest().orderBy("epoch", "partition").show(20, truncate=False)
     return 0
