@@ -125,6 +125,7 @@ def stream_ingest_partial(
     event_schema,
     key_cols: list[str] | None = None,
     n_buckets: int = 16,
+    compact_threshold: int = 5_000_000,
 ) -> None:
     """Structured-Streaming ingest of a SPARSE (partial-column) CDC feed:
     readStream over the WAL directory → foreachBatch → merge_partial
@@ -168,6 +169,10 @@ def stream_ingest_partial(
             table.merge_partial(
                 batch_df, table.last_epoch + 1, value_cols,
                 src_seq_lo=int(lo), src_seq_hi=int(hi),
+                # same size-based degradation guard as the batch loops: a
+                # batch whose key set can't be assumed broadcastable takes
+                # shuffled probe joins instead of a driver-built broadcast
+                folded_broadcastable=(n <= compact_threshold),
             )
         finally:
             batch_df.unpersist()
