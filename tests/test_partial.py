@@ -341,3 +341,40 @@ def test_partial_table_composes_with_changelog_and_rebucket(spark):
     assert t.rebucket(4)["n_buckets"] == 4
     state = sorted((r["path"], r["title"], r[shadow_col("title")]) for r in t.read().collect())
     assert state == [("a", "t3", 3), ("b", "t2", 2), ("c", "t4", 4)]
+
+
+def test_partial_table_schema_evolution_adds_tracked_column(spark):
+    """A sparse feed grows a new tracked column mid-stream: evolve the
+    table (metadata-only — value + shadow seq columns added), then merge
+    epochs that carry it; old rows read back with NULL/NULL for the new
+    pair, existing cells untouched."""
+    t = HashMergeTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="pt_evo_"),
+        partial_schema([T.StructField("title", T.StringType(), True)]),
+        n_buckets=2,
+        mode="cow",
+    )
+    E1 = "seq long, repo string, path string, op string, title string"
+    t.merge_partial(spark.createDataFrame([(1, "r", "a", "I", "t1")], E1), 0, ["title"])
+    t.evolve_schema(
+        partial_schema(
+            [
+                T.StructField("title", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+    )
+    E2 = E1 + ", text string"
+    t.merge_partial(
+        spark.createDataFrame(
+            [(2, "r", "a", "U", None, "x2"), (3, "r", "b", "I", "t3", None)], E2
+        ),
+        1,
+        ["title", "text"],
+    )
+    state = sorted(
+        (r["path"], r["title"], r[shadow_col("title")], r["text"], r[shadow_col("text")])
+        for r in t.read().collect()
+    )
+    assert state == [("a", "t1", 1, "x2", 2), ("b", "t3", 3, None, None)]
