@@ -32,9 +32,13 @@ fold accepts a custom ``provided`` predicate per column for that case.
 
 Scale shape (the 100 TB contract):
 
-* the fold is ONE hash aggregate of ``max``/``max_by`` columns — map-side
-  combinable, so a key with 10^7 sparse updates contributes ≤ #map-tasks
-  rows to the shuffle (same skew-immunity argument as compact_latest);
+* the fold is ONE aggregate of ``max``/``max_by`` columns — map-side
+  combinable (the plan shows ``partial_max*`` before the exchange), so a
+  key with 10^7 sparse updates contributes ≤ #map-tasks rows to the
+  shuffle (same skew-immunity argument as compact_latest). String-valued
+  ``max_by`` makes Catalyst pick SortAggregate over HashAggregate — the
+  sort is per map task over the EPOCH slice, the same trade compact.py
+  documents for its "agg" strategy;
 * the apply never shuffles or sorts the TARGET: untouched rows stream
   through a broadcast anti-join, touched rows through a broadcast inner
   join; the per-column argmax happens on the epoch-sized matched set.
@@ -85,8 +89,9 @@ def fold_partial_updates(
     + ``order_col`` (max seq) + ``op_col`` ('D' iff the epoch's last event
     for the key is a delete).
 
-    One hash aggregate; every term is ``max``/``max_by`` → Catalyst gives
-    partial (map-side) aggregation, the skew answer (compact.py note).
+    One aggregate; every term is ``max``/``max_by`` → Catalyst gives
+    partial (map-side) aggregation, the skew answer (compact.py note);
+    sort-based, not hash-based, because the value buffers are strings.
     Both Spark ``max_by`` and DuckDB ``arg_max`` skip NULL ordering keys
     (verified), which is what makes "provided" = non-NULL work.
     """
