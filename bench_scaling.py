@@ -11,7 +11,8 @@ Each level runs in a fresh subprocess (one JVM cannot change its master).
 The WAL is generated once on disk and shared; the timed window is the
 replay only. Results land in BENCH/BASELINE.md.
 
-Usage:  python bench_scaling.py [--events N] [--mode mor|cow]
+Usage:  python bench_scaling.py [--events N] [--mode mor|cow|partial]
+        (partial = sparse-column WAL through merge_partial)
 Worker: python bench_scaling.py --worker --cpus K --wal PATH --mode M
 """
 
@@ -34,6 +35,63 @@ def _fast_tmp(prefix: str) -> str:
     parallelism levels would contaminate the cores-scaling measurement."""
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def partial_worker(cpus: int, wal_path: str, epoch_size: int,
+                   shuffle_partitions: int = 64) -> None:
+    """Sparse (partial-column) replay worker: the pre-generated sparse WAL
+    through HashMergeTable.merge_partial in seq-sliced epochs. Same
+    protocol as worker(): fresh JVM, tmpfs storage, real-first-epoch
+    warmup into a scratch table, timed window = replay only."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+    from read_comp_data_pipeline_spark.operators.partial import partial_schema
+    from read_comp_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        f"pscale{cpus}", master=f"local[{cpus}]", shuffle_partitions=shuffle_partitions,
+        extra_conf={"spark.local.dir": _fast_tmp("spark_local_")},
+    )
+    stored = spark.read.parquet(wal_path)
+    n_events = int(stored.agg(F.max("seq")).first()[0]) + 1
+    schema = partial_schema(
+        [
+            T.StructField("title", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def replay(base_dir: str, lo_epoch: int, hi_epoch: int) -> None:
+        table = HashMergeTable.create(
+            spark, os.path.join(base_dir, "tbl"), schema, n_buckets=32, mode="cow"
+        )
+        for epoch in range(lo_epoch, hi_epoch + 1):
+            lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size - 1
+            sl = stored.where((stored.seq >= lo) & (stored.seq <= hi))
+            table.merge_partial(
+                sl, epoch, ["title", "text"], src_seq_lo=lo, src_seq_hi=hi,
+                folded_broadcastable=epoch_size <= 100_000_000,
+            )
+
+    warm = _fast_tmp(f"pscale_warm_{cpus}_")
+    replay(warm, 0, 0)  # untimed real-first-epoch warmup (JIT/Arrow/heap)
+    tbl_dir = _fast_tmp(f"pscale_tbl_{cpus}_")
+    n_epochs = (n_events - 1) // epoch_size + 1
+    t0 = time.monotonic()
+    replay(tbl_dir, 0, n_epochs - 1)
+    secs = time.monotonic() - t0
+    print(json.dumps({
+        "cpus": cpus,
+        "secs": round(secs, 2),
+        "events": n_events,
+        "events_per_sec": round(n_events / secs, 1),
+    }))
+    import shutil
+
+    shutil.rmtree(warm, ignore_errors=True)
+    shutil.rmtree(tbl_dir, ignore_errors=True)
 
 
 def worker(cpus: int, wal_path: str, mode: str, compact_threshold: int = 100_000_000,
@@ -135,11 +193,12 @@ def string_kernel(cpus: int, wal_path: str) -> None:
 
 
 def _run_worker(cpus: int, wal_path: str, mode: str, what: str = "--worker",
-                shuffle_partitions: int = 64) -> dict:
+                shuffle_partitions: int = 64, epoch_size: int = 2_000_000) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, what, "--cpus", str(cpus),
          "--wal", wal_path or "-", "--mode", mode,
-         "--shuffle-partitions", str(shuffle_partitions)],
+         "--shuffle-partitions", str(shuffle_partitions),
+         "--epoch-size", str(epoch_size)],
         capture_output=True, text=True, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -179,8 +238,12 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.cpus, args.wal, args.mode,
-               shuffle_partitions=args.shuffle_partitions)
+        if args.mode == "partial":
+            partial_worker(args.cpus, args.wal, args.epoch_size,
+                           shuffle_partitions=args.shuffle_partitions)
+        else:
+            worker(args.cpus, args.wal, args.mode,
+                   shuffle_partitions=args.shuffle_partitions)
         return
     if args.kernel:
         cpu_kernel(args.cpus)
@@ -195,11 +258,28 @@ def main() -> None:
     tmp = _fast_tmp("scale_wal_")
     wal_path = os.path.join(tmp, "wal")
     spark = get_spark("scalegen", master="local[32]", shuffle_partitions=64)
-    write_wal(
-        generate_change_events(spark, args.events, n_keys=max(args.events // 8, 1),
-                               epoch_size=args.epoch_size),
-        wal_path,
-    )
+    if args.mode == "partial":
+        # deterministic sparse WAL (same shape as bench.bench_partial_replay)
+        import pyspark.sql.functions as F
+
+        n_keys = max(args.events // 8, 1)
+        (
+            spark.range(args.events).select(
+                F.col("id").alias("seq"),
+                F.concat(F.lit("r"), (F.col("id") % 64).cast("string")).alias("repo"),
+                F.concat(F.lit("p"), F.pmod(F.xxhash64("id"), F.lit(n_keys)).cast("string")).alias("path"),
+                F.when(F.col("id") % 97 == 0, "D").otherwise("U").alias("op"),
+                F.when(F.col("id") % 3 == 0, F.concat(F.lit("T"), F.col("id").cast("string"))).alias("title"),
+                F.when(F.col("id") % 2 == 0, F.sha2(F.col("id").cast("string"), 256)).alias("text"),
+            )
+            .write.mode("overwrite").parquet(wal_path)
+        )
+    else:
+        write_wal(
+            generate_change_events(spark, args.events, n_keys=max(args.events // 8, 1),
+                                   epoch_size=args.epoch_size),
+            wal_path,
+        )
     spark.stop()
 
     levels = [int(x) for x in args.levels.split(",") if x.strip()]
@@ -209,7 +289,8 @@ def main() -> None:
         best = None
         for _ in range(args.runs):
             r = _run_worker(cpus, wal_path, args.mode,
-                            shuffle_partitions=args.shuffle_partitions)
+                            shuffle_partitions=args.shuffle_partitions,
+                            epoch_size=args.epoch_size)
             print(r)
             all_runs.append(r)
             if best is None or r["events_per_sec"] > best["events_per_sec"]:

@@ -527,9 +527,15 @@ class HashMergeTable:
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
+        # materialize the fold ONCE per epoch (localCheckpoint, same
+        # discipline as connected_components): the apply consumes it
+        # through several lineages (bucket hint, untouched-row anti probe,
+        # matched-row probe, the column merge) and without truncation each
+        # would re-run the slice's sort-aggregate — measured 8M-event
+        # protocol: the recompute made local[32] SLOWER than local[8]
         folded = fold_partial_updates(
             source, value_cols, key_cols, snap.get("order_col", "seq"), op_col
-        ).withColumn("_b", bucket_expr(n_buckets, key_cols))
+        ).withColumn("_b", bucket_expr(n_buckets, key_cols)).localCheckpoint()
         if affected_buckets is not None:
             affected = list(affected_buckets)
         else:

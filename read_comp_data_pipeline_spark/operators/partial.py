@@ -155,10 +155,15 @@ def apply_partial(
         *[F.col(shadow_col(c)).alias(f"_fs_{c}") for c in value_cols],
     )
     # folded keys ⊇ matched target keys, so a left join sees every source
-    # row; both sides are epoch-sized here (tmatch ≤ |folded| rows), and
-    # tmatch rides the same broadcast gate — statically, because its size
-    # estimate inherits the unbounded target scan's
-    j = f.join(hint(tmatch), on=key_cols, how="left")
+    # row. Both sides are epoch-sized (tmatch ≤ |folded| rows) — this join
+    # is deliberately NOT broadcast: the only driver-built broadcast is
+    # the key-only fkeys relation (the same discipline as the full-row
+    # COW probe, which ships (key, seq) and never full rows). Broadcasting
+    # tmatch would serialize a full-width epoch image through the driver
+    # once per epoch — measured on the 8M-event scaling protocol, that
+    # serial build made local[32] slower than local[8]. A shuffled
+    # epoch × epoch join scales with cores instead.
+    j = f.join(tmatch, on=key_cols, how="left")
 
     t_seq = F.coalesce(F.col(order_col), F.lit(-1))
     row_deleted = (F.col("_f_op") == "D") & (F.col("_f_seq") > t_seq)

@@ -240,17 +240,13 @@ def test_apply_partial_target_never_shuffles(spark):
     )
     out = apply_partial(tgt, folded, VALUE_COLS)
     phys = out._jdf.queryExecution().executedPlan().toString()
-    # every join is a broadcast probe — the table side streams through
-    assert phys.count("BroadcastHashJoin") >= 3, phys
-    assert "SortMergeJoin" not in phys, phys
-    assert "ShuffledHashJoin" not in phys, phys
-    # the only Sorts allowed are the fold's SortAggregate over the
-    # epoch-sized slice (string-valued max_by — the compact.py "agg"
-    # trade); they sort by the GROUP keys, never by join keys (an SMJ
-    # leftover would sort both sides on the join keys)
-    for line in phys.splitlines():
-        if "Sort " in line and "SortAggregate" not in line:
-            assert "Sort [repo" in line or "rowOrdering" in line, line
+    # the TARGET leaves only through broadcast key probes (anti + inner):
+    # the one driver-built broadcast is the key-only fkeys relation — the
+    # full-row COW probe discipline. The epoch × epoch column-merge join
+    # (f ⟕ tmatch) is deliberately shuffled: broadcasting a full-width
+    # epoch image through the driver is a serial per-epoch cost that
+    # measurably inverted the 8→32 scaling curve.
+    assert phys.count("BroadcastHashJoin") >= 2, phys
 
 
 def test_merge_partial_requires_cow(spark):
