@@ -32,16 +32,18 @@ fold accepts a custom ``provided`` predicate per column for that case.
 
 Scale shape (the 100 TB contract):
 
-* the fold is ONE aggregate of ``max``/``max_by`` columns — map-side
-  combinable (the plan shows ``partial_max*`` before the exchange), so a
-  key with 10^7 sparse updates contributes ≤ #map-tasks rows to the
-  shuffle (same skew-immunity argument as compact_latest). String-valued
-  ``max_by`` makes Catalyst pick SortAggregate over HashAggregate — the
-  sort is per map task over the EPOCH slice, the same trade compact.py
-  documents for its "agg" strategy;
+* the default fold (``strategy="hash_fetch"``) aggregates ONLY long
+  columns — a true HashAggregate with map-side partials (the plan shows
+  ``partial_max*`` before the exchange), so a key with 10^7 sparse
+  updates contributes ≤ #map-tasks rows to the shuffle (same
+  skew-immunity argument as compact_latest) — then semi-joins each
+  winning value back from the slice. The multi-KB payload columns are
+  never sorted and never ride a driver broadcast
+  (``test_hash_fetch_fold_never_sorts_the_payload`` pins the plan);
 * the apply never shuffles or sorts the TARGET: untouched rows stream
-  through a broadcast anti-join, touched rows through a broadcast inner
-  join; the per-column argmax happens on the epoch-sized matched set.
+  through a broadcast anti-join keyed on the folded KEY SET only,
+  touched rows through a shuffled epoch×epoch column-merge join — the
+  per-column argmax happens on the epoch-sized matched set.
 """
 
 from __future__ import annotations
@@ -80,6 +82,7 @@ def fold_partial_updates(
     key_cols: list[str] | None = None,
     order_col: str = "seq",
     op_col: str = "op",
+    strategy: str = "hash_fetch",
 ) -> DataFrame:
     """Fold an epoch of sparse events to ≤1 row per key.
 
@@ -89,16 +92,75 @@ def fold_partial_updates(
     + ``order_col`` (max seq) + ``op_col`` ('D' iff the epoch's last event
     for the key is a delete).
 
-    One aggregate; every term is ``max``/``max_by`` → Catalyst gives
-    partial (map-side) aggregation, the skew answer (compact.py note);
-    sort-based, not hash-based, because the value buffers are strings.
+    ``strategy`` (both value-identical; parity-tested):
+
+    * ``"hash_fetch"`` (default — the scale path): aggregate ONLY longs
+      (per-column latest-provided seq, delete seq, max seq) — a true
+      HashAggregate with map-side partials — then fetch each column's
+      winning value by streaming the slice through a per-column semi
+      probe on (key, seq) and assemble with SHUFFLE_HASH-hinted key
+      joins. The multi-KB payload never sorts and never rides a
+      driver broadcast; the slice is scanned 1 + |value_cols| times (all
+      parallel scans). Same discipline as compact_latest's
+      broadcast_semi: hash-aggregate the tiny columns, semi-join the
+      payload back.
+    * ``"sort_agg"``: ONE aggregate of ``max``/``max_by`` columns —
+      fewer scans and joins, but string-valued ``max_by`` buffers make
+      Catalyst pick SortAggregate, so every map task sorts the full
+      payload (measured on the 8M-event scaling protocol: the payload
+      sorts made local[32] slower than local[8] — allocation-rate-bound
+      on one heap). Kept for narrow/small slices and as the parity
+      cross-check. Still map-side partial-aggregated, so skew immunity
+      holds in both strategies.
+
     Both Spark ``max_by`` and DuckDB ``arg_max`` skip NULL ordering keys
     (verified), which is what makes "provided" = non-NULL work.
     """
     key_cols = key_cols or KEY_COLS
     seq = F.col(order_col)
     not_del = F.col(op_col) != "D"
-    aggs: list[Column] = [
+    if strategy == "hash_fetch":
+        # 1) longs-only aggregate: HashAggregate, map-side combinable
+        aggs: list[Column] = [
+            F.max(seq).alias(order_col),
+            F.max(F.when(~not_del, seq)).alias("_del_seq"),
+        ]
+        for c in value_cols:
+            provided = F.col(c).isNotNull() & not_del
+            aggs.append(F.max(F.when(provided, seq)).alias(shadow_col(c)))
+        seqs = df.groupBy(*key_cols).agg(*aggs)
+        # last event is a delete iff the latest delete IS the latest event
+        out_cols: list[Column] = [*(F.col(k) for k in key_cols), F.col(order_col)]
+        out_cols.append(
+            F.when(F.col("_del_seq") == F.col(order_col), F.lit("D"))
+            .otherwise(F.lit("U")).alias(op_col)
+        )
+        out_cols.append(F.col("_del_seq"))
+        for c in value_cols:
+            live = F.col(shadow_col(c)) > F.coalesce(F.col("_del_seq"), F.lit(-1))
+            out_cols.append(F.when(live, F.col(shadow_col(c))).alias(shadow_col(c)))
+        out = seqs.select(*out_cols)
+        # 2) per column: stream the slice through a semi probe on
+        #    (key, winning seq) — ≤1 surviving row per key, payload
+        #    untouched by any sort or broadcast
+        for c in value_cols:
+            probe = out.where(F.col(shadow_col(c)).isNotNull()).select(
+                *key_cols, F.col(shadow_col(c)).alias(order_col)
+            )
+            w_c = (
+                df.where(F.col(c).isNotNull() & not_del)
+                .join(probe.hint("SHUFFLE_HASH"), on=[*key_cols, order_col], how="left_semi")
+                .select(*key_cols, F.col(c))
+            )
+            # 3) assemble on the key: compact ≤1-row/key relations,
+            #    SHUFFLE_HASH so the planner never sorts them into an SMJ
+            out = out.join(w_c.hint("SHUFFLE_HASH"), on=key_cols, how="left")
+        ordered = [*key_cols, order_col, op_col, "_del_seq"]
+        for c in value_cols:
+            ordered.extend([c, shadow_col(c)])
+        return out.select(*ordered)
+
+    aggs = [
         F.max(seq).alias(order_col),
         F.max_by(F.col(op_col), seq).alias(op_col),
         F.max(F.when(~not_del, seq)).alias("_del_seq"),

@@ -374,3 +374,34 @@ def test_partial_table_schema_evolution_adds_tracked_column(spark):
         for r in t.read().collect()
     )
     assert state == [("a", "t1", 1, "x2", 2), ("b", "t3", 3, None, None)]
+
+
+def test_fold_strategies_are_value_identical(spark):
+    """hash_fetch (longs-only HashAggregate + semi fetch) and sort_agg
+    (one SortAggregate) must fold identically — op normalization aside
+    (hash_fetch reports all non-deletes as 'U'; only 'D' is semantic)."""
+    evs = _random_events(11, n=400, keys=40)
+    df = spark.createDataFrame(evs, EVENT_SCHEMA)
+    cols = ["repo", "path", "seq", "_del_seq", "title", "_s_title", "text", "_s_text"]
+    a = fold_partial_updates(df, VALUE_COLS, strategy="hash_fetch").select(*cols)
+    b = fold_partial_updates(df, VALUE_COLS, strategy="sort_agg").select(*cols)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # delete flag parity ('D' is the only op value apply_partial reads)
+    da = {(r["repo"], r["path"]) for r in fold_partial_updates(df, VALUE_COLS).where("op = 'D'").collect()}
+    db = {(r["repo"], r["path"]) for r in fold_partial_updates(df, VALUE_COLS, strategy="sort_agg").where("op = 'D'").collect()}
+    assert da == db
+
+
+def test_hash_fetch_fold_never_sorts_the_payload(spark):
+    """The scale property: HashAggregate (not SortAggregate) does the
+    fold, and no Sort node anywhere — the multi-KB payload columns are
+    only scanned and hash-joined."""
+    evs = _random_events(12)
+    df = fold_partial_updates(
+        spark.createDataFrame(evs, EVENT_SCHEMA), VALUE_COLS, strategy="hash_fetch"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in phys, phys
+    assert "HashAggregate" in phys, phys
+    assert "SortMergeJoin" not in phys, phys
+    assert "Sort " not in phys, phys
