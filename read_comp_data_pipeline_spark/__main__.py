@@ -32,6 +32,9 @@ Commands:
               WAL rows; violating rows quarantine instead of committing
   tag       — pin the current snapshot under a name (named time travel;
               tagged snapshots and their data survive vacuum)
+  rollback  — make an earlier retained snapshot the current state (new
+              snapshot commit; recover-and-replay: re-ingesting the WAL
+              re-applies every epoch above the rolled-back watermark)
   sort-order — declare the table sort order (metadata-only commit);
               subsequent rewrites cluster rows within buckets so parquet
               row-group zone maps prune value predicates
@@ -41,6 +44,10 @@ Commands:
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
                  in (--update-out) so the next epoch chains
+  emb-store    — build the embedding near-dup store (exact-vector
+                 seen-set + reps' LSH buckets, partition-pruned per delta)
+  emb-delta    — embedding near-dup edges of (corpus ∪ delta), bucketing
+                 only the delta against the store; --update-out chains
   para-store   — build the corpus's distinct-paragraph seen-set (sha2
                  digests, hash-bucket-partitioned)
   para-delta   — paragraph-dedup a new epoch against the store (epoch
@@ -113,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="pin the current snapshot under NAME (vacuum-proof)")
     p.add_argument("--drop", metavar="NAME", default=None)
 
+    p = sub.add_parser("rollback")
+    p.add_argument("--table", required=True)
+    p.add_argument("--version", type=int, default=None,
+                   help="roll back to this snapshot version")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="roll back to the state as of this committed epoch")
+    p.add_argument("--tag", default=None, help="roll back to a tagged snapshot")
+
     p = sub.add_parser("history")
     p.add_argument("--table", required=True)
     p.add_argument("--repo", required=True)
@@ -149,6 +164,21 @@ def main(argv: list[str] | None = None) -> int:
         if name == "dedup-delta":
             p.add_argument("--edges-out", default=None,
                            help="write the (id_a, id_b, jaccard) edge set here")
+            p.add_argument("--update-out", default=None,
+                           help="also fold the delta into a new store at this path")
+
+    for name in ("emb-store", "emb-delta"):
+        p = sub.add_parser(name)
+        p.add_argument("--vecs", required=True, help="parquet dir of (vec_id, embedding) rows")
+        p.add_argument("--store", required=True)
+        p.add_argument("--id-col", default="vec_id")
+        p.add_argument("--vec-col", default="embedding")
+        p.add_argument("--planes", type=int, default=6)
+        p.add_argument("--dim", type=int, default=64)
+        p.add_argument("--threshold", type=float, default=0.30)
+        if name == "emb-delta":
+            p.add_argument("--edges-out", default=None,
+                           help="write the (id_a, id_b, cosine) edge set here")
             p.add_argument("--update-out", default=None,
                            help="also fold the delta into a new store at this path")
 
@@ -249,6 +279,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(t.drop_tag(args.drop)))
         else:
             print(json.dumps({"tags": t.tags()}))
+    elif args.cmd == "rollback":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        print(json.dumps(t.rollback(
+            version=args.version, epoch=args.epoch, tag=args.tag,
+        )))
     elif args.cmd == "history":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
@@ -335,6 +372,37 @@ def main(argv: list[str] | None = None) -> int:
         out = {"edges": n_edges, "delta_docs": delta.count()}
         if args.update_out:
             update_signature_store(delta, args.store, args.update_out, **kw)
+            out["updated_store"] = args.update_out
+        print(json.dumps(out))
+    elif args.cmd == "emb-store":
+        from read_comp_data_pipeline_spark.operators.similarity import (
+            build_embedding_store,
+        )
+
+        vecs = spark.read.parquet(args.vecs)
+        build_embedding_store(
+            vecs, args.store, id_col=args.id_col, vec_col=args.vec_col,
+            n_planes=args.planes, dim=args.dim, threshold=args.threshold,
+        )
+        print(json.dumps({"store": args.store, "vectors": vecs.count()}))
+    elif args.cmd == "emb-delta":
+        from read_comp_data_pipeline_spark.operators.similarity import (
+            incremental_embedding_near_dups,
+            update_embedding_store,
+        )
+
+        delta = spark.read.parquet(args.vecs)
+        kw = dict(id_col=args.id_col, vec_col=args.vec_col,
+                  n_planes=args.planes, dim=args.dim, threshold=args.threshold)
+        edges = incremental_embedding_near_dups(delta, args.store, **kw)
+        if args.edges_out:
+            edges.write.mode("overwrite").parquet(args.edges_out)
+            n_edges = spark.read.parquet(args.edges_out).count()
+        else:
+            n_edges = edges.count()
+        out = {"edges": n_edges, "delta_vectors": delta.count()}
+        if args.update_out:
+            update_embedding_store(delta, args.store, args.update_out, **kw)
             out["updated_store"] = args.update_out
         print(json.dumps(out))
     elif args.cmd == "para-store":

@@ -1142,6 +1142,158 @@ class HashMergeTable:
                     removed_snaps += 1
         return {"removed_data_dirs": removed_dirs, "removed_snapshots": removed_snaps}
 
+    # -- rollback (recover-and-replay) -------------------------------------------
+
+    def _side_table_through(self, snap: dict, kind: str, through_epoch: int):
+        """Driver-side (pyarrow) read of a side table's committed rows with
+        ``epoch <= through_epoch`` — segments named by ``snap`` plus
+        per-epoch files above its consolidation watermark, exactly the set
+        :meth:`_read_side` scans. Side tables are O(epochs × buckets) rows;
+        no Spark job. Returns a pyarrow Table or None."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.path, kind)
+        if not os.path.isdir(d):
+            return None
+        wm = int(snap.get(f"{kind}_compacted_through", -1))
+        paths = [os.path.join(d, n) for n in self._side_segments(snap, kind)]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"{kind} segment(s) named in committed snapshot are missing "
+                f"on disk: {missing} — side table at {d} is corrupt"
+            )
+        paths += [
+            os.path.join(d, n)
+            for n in sorted(os.listdir(d))
+            if n.startswith("e") and n.endswith(".parquet")
+            and n[1:-8].isdigit() and int(n[1:-8]) > wm
+        ]
+        tables = [pq.read_table(p) for p in paths]
+        if not tables:
+            return None
+        t = pa.concat_tables(tables)
+        t = t.filter(pc.less_equal(t.column("epoch"), pa.scalar(through_epoch, type=pa.int64())))
+        return t if t.num_rows else None
+
+    def rollback(
+        self,
+        version: int | None = None,
+        epoch: int | None = None,
+        tag: str | None = None,
+    ) -> dict[str, Any]:
+        """Make an earlier retained snapshot the CURRENT table state via a
+        new snapshot commit (Iceberg ``rollback_to_snapshot`` analogue) —
+        the bad-epoch recovery primitive: roll back past the poisoned
+        commit, fix the WAL, re-ingest; exactly-once epoch numbering makes
+        the replay converge (``merge`` re-applies every epoch above the
+        rolled-back watermark and skips nothing else).
+
+        Exactly one selector: ``version`` (snapshot version), ``epoch``
+        (resolved via :meth:`snapshot_at_epoch`), or ``tag``.
+
+        Semantics — the new snapshot is the TARGET's full committed state
+        (data refs, schema history, seq_hi watermark, sort order,
+        constraints) under a fresh version number:
+
+        * lineage follows the data: manifest/metrics rows above the target
+          epoch are consolidated AWAY (one rewritten segment per side table,
+          watermark = target epoch), so a replayed epoch re-records its
+          lineage exactly once — no stale row from the abandoned timeline
+          can resurface even if a replayed epoch lands as a no-op;
+        * snapshots ABOVE the target are retired (their files deleted, data
+          dirs left to :meth:`vacuum`): epoch dirs are deterministic
+          (``data/e{epoch}``), so a replay OVERWRITES the abandoned
+          timeline's files — retaining those snapshots would leave time
+          travel pointing at data that silently changes underneath it.
+          Loud-over-wrong: if a TAG pins a superseded snapshot the rollback
+          refuses until the tag is dropped;
+        * crash ordering is the commit protocol's: new segments first
+          (orphans if we crash — never read, swept later), then the
+          one-file snapshot commit, then cleanup (re-runnable).
+        """
+        import pyarrow.parquet as pq
+
+        if sum(x is not None for x in (version, epoch, tag)) != 1:
+            raise ValueError("rollback needs exactly one of version=, epoch=, tag=")
+        cur = self._snapshot()
+        if tag is not None:
+            target = self.snapshot_by_tag(tag)
+        elif epoch is not None:
+            target = self.snapshot_at_epoch(int(epoch))
+        else:
+            matches = [s for s in self.snapshots() if int(s["version"]) == int(version)]
+            if not matches:
+                raise ValueError(f"no retained snapshot with version {version}")
+            target = matches[0]
+        if int(target["version"]) == int(cur["version"]):
+            return {"noop": True, "version": int(cur["version"]), "epoch": int(cur["epoch"])}
+        blocking = {
+            name: v for name, v in self.tags().items()
+            if int(v) > int(target["version"])
+        }
+        if blocking:
+            raise ValueError(
+                "rollback would retire tagged snapshot(s) — drop the tag(s) "
+                f"first or roll back to a later state: {blocking}"
+            )
+
+        target_epoch = int(target["epoch"])
+        new = json.loads(json.dumps(target))  # deep copy of the target state
+        new["version"] = int(cur["version"]) + 1
+        new["rollback_of"] = int(target["version"])
+        new["rolled_back_from"] = int(cur["version"])
+        # consolidate each side table to the target epoch under the CURRENT
+        # snapshot's file view (the target's own segment list may reference
+        # files a later compact_sidecars folded and removed)
+        for kind in ("manifest", "metrics"):
+            t = self._side_table_through(cur, kind, target_epoch)
+            if t is None:
+                new[f"{kind}_segments"] = []
+            else:
+                seg = f"seg-{uuid.uuid4().hex}.parquet"
+                d = os.path.join(self.path, kind)
+                tmp = os.path.join(d, f".{seg}.tmp")
+                pq.write_table(t, tmp)
+                os.replace(tmp, os.path.join(d, seg))
+                new[f"{kind}_segments"] = [seg]
+            new[f"{kind}_compacted_through"] = target_epoch
+
+        self._commit_snapshot(new)
+
+        # cleanup (all re-runnable; a crash anywhere here is benign):
+        # retire superseded snapshot files, drop the abandoned timeline's
+        # per-epoch side files, sweep segments nothing references
+        sdir = os.path.join(self.path, "snapshots")
+        retired = 0
+        for name in os.listdir(sdir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                v = int(name[5:-5])
+                if int(target["version"]) < v < int(new["version"]):
+                    os.remove(os.path.join(sdir, name))
+                    retired += 1
+        for kind in ("manifest", "metrics"):
+            d = os.path.join(self.path, kind)
+            if not os.path.isdir(d):
+                continue
+            for n in os.listdir(d):
+                if (
+                    n.startswith("e") and n.endswith(".parquet")
+                    and n[1:-8].isdigit() and int(n[1:-8]) > target_epoch
+                ):
+                    os.remove(os.path.join(d, n))
+        self._clean_side_orphans(new)
+        return {
+            "noop": False,
+            "version": int(new["version"]),
+            "epoch": target_epoch,
+            "rolled_back_from": int(cur["version"]),
+            "rollback_of": int(target["version"]),
+            "snapshots_retired": retired,
+        }
+
     # -- lineage / metrics (appendable parquet side-tables) ---------------------
 
     # On-disk raw schemas: committed_ts is stored as epoch-seconds double
