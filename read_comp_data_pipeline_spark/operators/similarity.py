@@ -458,3 +458,292 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ═══════════════════════════════════════════════════════════════════════════
+# incremental (corpus-vs-delta) embedding near-dup — the third leg of the
+# incremental trio (minhash: dedup.build_signature_store; paragraphs:
+# paragraphs.build_paragraph_store). Reference analogue: the crawl's
+# persisted seen-set makes per-page work independent of corpus size
+# (/root/reference/search_scrape.py:330).
+# ═══════════════════════════════════════════════════════════════════════════
+
+_EMB_STORE_BUCKETS = 16
+
+
+def _vec_hash(vec: Column) -> Column:
+    """Deterministic content hash of a float vector (exact-duplicate
+    identity — same float values ⇒ same hash on both the store-build and
+    the delta side, both Spark-computed)."""
+    return F.md5(F.concat_ws(",", F.transform(vec, lambda x: x.cast("float").cast("string"))))
+
+
+def _ek_expr():
+    """Store partition key for the reps relation: bucket-hash bucket, so a
+    delta pass statically prunes store files to the buckets it touches."""
+    return F.pmod(F.xxhash64(F.col("bucket")), F.lit(_EMB_STORE_BUCKETS)).cast("int")
+
+
+def _write_emb_store_meta(path: str, n_planes: int, dim: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_store_meta.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "dim": dim, "buckets": _EMB_STORE_BUCKETS}, f)
+
+
+def build_embedding_store(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    threshold: float = 0.30,
+) -> None:
+    """Persist the embedding near-dup store for a corpus: everything
+    :func:`incremental_embedding_near_dups` needs to process a NEW epoch's
+    vectors with work proportional to the delta. Four thin relations:
+
+    * ``groups``      (vec_hash, keeper_id)     — exact-vector seen-set
+    * ``exact_edges`` (vec_hash, id_a, id_b)    — keeper→member stars
+    * ``reps``        (id, vec, bucket, ek)     — representatives' vectors
+      + LSH signature, PARTITIONED by bucket-hash ``ek`` (the delta's
+      candidate join prunes store files to its own bucket set); unlike
+      minhash there is ONE bucket per vector, and the rep's vector doubles
+      as the verification payload — no separate shingle relation
+    * ``edges``       (id_a, id_b, cosine)      — known rep-rep near-dups
+    """
+    d = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        _vec_hash(F.col(vec_col)).alias("vec_hash"),
+    )
+    grp = d.groupBy("vec_hash").agg(F.min("id").alias("keeper_id"))
+    exact = (
+        d.join(grp, on="vec_hash")
+        .where(F.col("id") != F.col("keeper_id"))
+        .select("vec_hash", F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    reps = (
+        d.join(
+            grp.select("vec_hash", F.col("keeper_id").alias("id")),
+            on=["vec_hash", "id"], how="left_semi",
+        )
+        .select("id", "vec")
+        .withColumn("bucket", lsh_signature(F.col("vec"), n_planes, dim))
+    )
+    edges = embedding_near_dup_lsh(
+        reps.select(F.col("id"), F.col("vec")), threshold, n_planes, dim,
+        id_col="id", vec_col="vec", collapse=False,
+    )
+    _write_emb_store_meta(path, n_planes, dim)
+    grp.write.mode("overwrite").parquet(f"{path}/groups")
+    exact.write.mode("overwrite").parquet(f"{path}/exact_edges")
+    reps.withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy("ek").parquet(
+        f"{path}/reps"
+    )
+    edges.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def _emb_incremental_state(
+    delta: DataFrame,
+    store_path: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    threshold: float,
+) -> dict[str, DataFrame]:
+    """Shared machinery for :func:`incremental_embedding_near_dups` (needs
+    ``out``) and :func:`update_embedding_store` (needs the relations).
+    Mirrors dedup._incremental_state's contract: value-exact equality with
+    the batch pipeline on the union, work proportional to the delta."""
+    import json
+    import os
+
+    meta_path = os.path.join(store_path, "_store_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get("n_planes"), meta.get("dim")) != (n_planes, dim):
+            raise ValueError(
+                f"embedding store at {store_path} was built with "
+                f"n_planes/dim={meta.get('n_planes')}/{meta.get('dim')}, "
+                f"got {n_planes}/{dim}"
+            )
+
+    spark = delta.sparkSession
+    groups_s = spark.read.parquet(f"{store_path}/groups")
+    exact_s = spark.read.parquet(f"{store_path}/exact_edges")
+    reps_s = spark.read.parquet(f"{store_path}/reps")
+    edges_s = spark.read.parquet(f"{store_path}/edges")
+
+    d = delta.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        _vec_hash(F.col(vec_col)).alias("vec_hash"),
+    )
+    dj = d.join(groups_s, on="vec_hash", how="left")
+    known = dj.where(F.col("keeper_id").isNotNull()).localCheckpoint(eager=True)
+    new = dj.where(F.col("keeper_id").isNull()).drop("keeper_id").localCheckpoint(eager=True)
+
+    # ── known vectors: group membership growth + keeper takeover ────────
+    kagg = known.groupBy("vec_hash").agg(F.min("id").alias("_delta_min"))
+    touched = (
+        groups_s.join(F.broadcast(kagg), on="vec_hash")
+        .withColumn("new_keeper", F.least("keeper_id", "_delta_min"))
+        .localCheckpoint(eager=True)
+    )
+    relabel = touched.where(F.col("new_keeper") != F.col("keeper_id")).select(
+        F.col("keeper_id").alias("_old"), F.col("new_keeper").alias("_new")
+    )
+    untouched_exact = exact_s.join(
+        F.broadcast(touched.select("vec_hash")), on="vec_hash", how="left_anti"
+    )
+    members = (
+        touched.select("vec_hash", F.col("keeper_id").alias("m"))
+        .unionByName(
+            exact_s.join(F.broadcast(touched.select("vec_hash")), on="vec_hash")
+            .select("vec_hash", F.col("id_b").alias("m"))
+        )
+        .unionByName(known.select("vec_hash", F.col("id").alias("m")))
+    )
+    touched_exact = (
+        members.join(F.broadcast(touched.select("vec_hash", "new_keeper")), on="vec_hash")
+        .where(F.col("m") != F.col("new_keeper"))
+        .select("vec_hash", F.col("new_keeper").alias("id_a"), F.col("m").alias("id_b"))
+    )
+
+    # ── new vectors: collapse within the delta, bucket, verify ──────────
+    new_keepers = new.groupBy("vec_hash").agg(F.min("id").alias("id"))
+    new_reps = (
+        new.join(new_keepers, on=["vec_hash", "id"], how="left_semi")
+        .select("vec_hash", "id", "vec")
+        .withColumn("bucket", lsh_signature(F.col("vec"), n_planes, dim))
+        .localCheckpoint(eager=True)
+    )
+    new_exact = (
+        new.join(
+            F.broadcast(new_keepers.withColumnRenamed("id", "_k")), on="vec_hash"
+        )
+        .where(F.col("id") != F.col("_k"))
+        .select("vec_hash", F.col("_k").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    # static partition pruning on the store's reps files: the delta's own
+    # bucket-hash set is bounded by _EMB_STORE_BUCKETS (same pattern as
+    # dedup's bk pruning — static beats DPP because the broadcast delta
+    # side carries no selective predicate)
+    eks = [r["ek"] for r in new_reps.select(_ek_expr().alias("ek")).distinct().collect()]
+    reps_pruned = reps_s.where(F.col("ek").isin(eks) if eks else F.lit(False))
+    cross_edges = (
+        new_reps.alias("dl").join(reps_pruned.alias("st"), on="bucket")
+        .select(
+            F.least(F.col("dl.id"), F.col("st.id")).alias("id_a"),
+            F.greatest(F.col("dl.id"), F.col("st.id")).alias("id_b"),
+            F.round(cosine_expr(F.col("dl.vec"), F.col("st.vec")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    within_edges = embedding_near_dup_lsh(
+        new_reps.select("id", "vec"), threshold, n_planes, dim,
+        id_col="id", vec_col="vec", collapse=False,
+    )
+    near_new = cross_edges.unionByName(within_edges)
+
+    # ── relabel takeover keepers in every rep-level edge ────────────────
+    def _relabel(e: DataFrame) -> DataFrame:
+        e = e.join(
+            F.broadcast(relabel.withColumnRenamed("_old", "id_a").withColumnRenamed("_new", "_na")),
+            on="id_a", how="left",
+        ).join(
+            F.broadcast(relabel.withColumnRenamed("_old", "id_b").withColumnRenamed("_new", "_nb")),
+            on="id_b", how="left",
+        )
+        a2 = F.coalesce(F.col("_na"), F.col("id_a"))
+        b2 = F.coalesce(F.col("_nb"), F.col("id_b"))
+        return e.select(
+            F.least(a2, b2).alias("id_a"), F.greatest(a2, b2).alias("id_b"), "cosine"
+        )
+
+    near_all = _relabel(edges_s.unionByName(near_new))
+    exact_all = untouched_exact.unionByName(touched_exact).unionByName(new_exact)
+    out = near_all.unionByName(
+        exact_all.select("id_a", "id_b", F.lit(1.0).alias("cosine"))
+    )
+
+    def _relabel_ids(rel: DataFrame) -> DataFrame:
+        return rel.join(
+            F.broadcast(relabel.withColumnRenamed("_old", "id")), on="id", how="left"
+        ).select(
+            F.coalesce(F.col("_new"), F.col("id")).alias("id"),
+            *[c for c in rel.columns if c != "id"],
+        )
+
+    groups_u = groups_s.join(
+        F.broadcast(touched.select("vec_hash", "new_keeper")),
+        on="vec_hash", how="left",
+    ).select(
+        "vec_hash",
+        F.coalesce(F.col("new_keeper"), F.col("keeper_id")).alias("keeper_id"),
+    ).unionByName(new_keepers.select("vec_hash", F.col("id").alias("keeper_id")))
+    return {
+        "out": out,
+        "groups": groups_u,
+        "exact_edges": exact_all,
+        "reps": _relabel_ids(reps_s.select("id", "vec", "bucket")).unionByName(
+            new_reps.select("id", "vec", "bucket")
+        ),
+        "edges": near_all,
+        "_reps_scan": reps_pruned,  # introspection (tests assert pruning)
+    }
+
+
+def incremental_embedding_near_dups(
+    delta: DataFrame,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    threshold: float = 0.30,
+) -> DataFrame:
+    """Embedding near-dup edge set of (corpus ∪ delta), computed by
+    bucketing ONLY the delta against a persisted
+    :func:`build_embedding_store` — value-exact equal to
+    :func:`embedding_near_dup_lsh` on the full union (collapse semantics
+    included), while signature/cosine work is proportional to the delta;
+    the corpus's vectors are read only from the store's pruned candidate
+    buckets, never rescanned wholesale."""
+    return _emb_incremental_state(
+        delta, store_path, id_col, vec_col, n_planes, dim, threshold
+    )["out"]
+
+
+def update_embedding_store(
+    delta: DataFrame,
+    store_path: str,
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    threshold: float = 0.30,
+) -> None:
+    """Fold a processed delta INTO the embedding store, producing the store
+    of (corpus ∪ delta) at ``out_path`` — chains epoch over epoch; identical
+    to rebuilding from the union (tested), but only delta rows are computed
+    fresh."""
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(store_path):
+        raise ValueError("out_path must differ from store_path (snapshot-style update)")
+    st = _emb_incremental_state(
+        delta, store_path, id_col, vec_col, n_planes, dim, threshold
+    )
+    _write_emb_store_meta(out_path, n_planes, dim)
+    st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups")
+    st["exact_edges"].write.mode("overwrite").parquet(f"{out_path}/exact_edges")
+    st["reps"].withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy(
+        "ek"
+    ).parquet(f"{out_path}/reps")
+    st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges")

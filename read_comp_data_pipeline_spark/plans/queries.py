@@ -2433,6 +2433,37 @@ def paragraph_dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataF
     return _paragraph_dedup_inc(delta, store)
 
 
+@_q("emb_near_dup_incremental", emb_near_dup_lsh_sql(threshold=0.30, n_planes=6, dim=64))
+def emb_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding near-dup — third leg of the incremental trio
+    (minhash text, paragraphs, embeddings): the corpus's vectors (vec_id %
+    5 != 0) are summarized once into a persisted store (exact-vector
+    seen-set + reps' LSH buckets + known edges); the delta (vec_id % 5 =
+    0) is then hashed/bucketed ALONE and joined against the store pruned
+    to the delta's own bucket partitions — per-epoch work proportional to
+    the delta. The ORACLE is the full-union batch LSH pipeline
+    (emb_near_dup_lsh_sql over the whole table), so the driver gate proves
+    incremental == batch value-exactly, keeper-takeover relabeling
+    included. Beyond-gate composition of two gated families
+    (emb_near_dup_lsh × the incremental-store discipline).
+
+    Bench note: the registered query builds the store AND runs the delta
+    pass; in production the build is paid once per corpus."""
+    from read_comp_data_pipeline_spark.operators.similarity import (
+        build_embedding_store,
+        incremental_embedding_near_dups,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    delta = emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    store = tempfile.mkdtemp(prefix="embstore_q_")
+    build_embedding_store(corpus, store, threshold=0.30, n_planes=6, dim=64)
+    return incremental_embedding_near_dups(
+        delta, store, threshold=0.30, n_planes=6, dim=64
+    )
+
+
 @_q(
     "pii_redaction",
     f"""
@@ -2486,9 +2517,13 @@ _GATE_FIRST_50 = [
     "cdc_compact_latest", "cdc_replay_final_state", "cdc_changes_between",
     "cdc_incremental_agg", "cdc_partial_updates",
     "hour_rotation_metrics", "events_sessionize",
-    # relational engine (TPC-H-style representatives)
-    "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
-    "rollup_order_status", "window_top_suppliers",
+    # relational engine (TPC-H-style representatives; r5 late swap:
+    # q3_top_unshipped and rollup_order_status demoted after four rounds
+    # of green driver rows — join/limit evidence stays gated via q5 +
+    # anti/semi joins + vocab_top_terms, grouped-agg via q1 — to gate the
+    # two never-driver-gated novel families bm25_topk and
+    # unigram_logprob_scores)
+    "q1_pricing_summary", "q5_region_revenue", "window_top_suppliers",
     # joins / set ops
     "anti_join_new_keys", "semi_join_seen_keys", "union_dedup_state",
     "j3_filename_roundtrip",
@@ -2516,6 +2551,8 @@ _GATE_FIRST_50 = [
     # training-data pipeline
     "train_val_split", "stratified_sample_by_lang", "vocab_top_terms",
     "pack_sequences_by_lang",
+    # retrieval / LM scoring (r5 late swap, see note above)
+    "bm25_topk", "unigram_logprob_scores",
 ]
 
 # locally-gated twins/variants (each is a redundant sibling of a gated
@@ -2557,14 +2594,17 @@ _BEYOND_GATE = [
                                    # gate cdc_partial_updates
     # round-5 compositions/extensions of gated families (each reuses gated
     # operators or the gated hash/window discipline; local-oracle-gated)
-    "bm25_topk",                   # lexical retrieval; top-k + agg
-                                   # disciplines gated via vocab_top_terms,
-                                   # ANN retrieval gated via ann_*_topk
+    "q3_top_unshipped",            # r5 late swap: join+limit engine demo,
+                                   # four rounds of green driver rows;
+                                   # demoted to gate bm25_topk
+    "rollup_order_status",         # r5 late swap: grouping-sets demo, four
+                                   # rounds of green driver rows; demoted
+                                   # to gate unigram_logprob_scores
     "corpus_after_dedup",          # dedup_clusters applied (keep-one)
     "curation_decontaminated",     # curation_pipeline + eval_contamination
-    "unigram_logprob_scores",      # textstats family: unigram LM fluency
     "sample_to_token_budget",      # sampling/packing family: token budget
     "paragraph_dedup_incremental", # paragraph_dedup × incremental store
+    "emb_near_dup_incremental",    # emb_near_dup_lsh × incremental store
                                    # (both families gated: paragraph_dedup,
                                    # dedup_incremental)
 ]
