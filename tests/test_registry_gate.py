@@ -21,7 +21,11 @@ FAMILY_REPRESENTATIVES = [
     "q1_pricing_summary",            # agg engine
     "q5_region_revenue",             # broadcast joins
     "window_top_suppliers",          # ranking windows
-    "rollup_order_status",           # grouping sets
+    # r5 late swap: rollup_order_status / q3_top_unshipped demoted (four
+    # rounds of green driver rows; grouped-agg keeps q1, joins keep q5 +
+    # anti/semi) to gate the two never-driver-gated novel families
+    "bm25_topk",                     # lexical retrieval (BM25)
+    "unigram_logprob_scores",        # unigram-LM fluency scoring
     # r5: pivot_status_by_priority / q17_small_quantity_revenue demoted
     # (4 rounds of green driver rows; grouped-agg + join families keep
     # gated representatives) to admit the new hygiene families below
