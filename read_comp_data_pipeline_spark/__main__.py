@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
                 help="run vacuum + sidecar folding every N epochs (0 = off)",
             )
             p.add_argument("--keep-snapshots", type=int, default=25)
+            p.add_argument(
+                "--audit-max-shrink", type=float, default=None,
+                help="write-audit-publish: stage each epoch and reject it "
+                     "(discard + stop) if the table row count shrinks by "
+                     "more than this fraction (mass-delete guard)",
+            )
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
 
@@ -223,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             compact_every=args.compact_every, quarantine=args.quarantine,
             maintain_every=args.maintain_every or None,
             keep_snapshots=args.keep_snapshots,
+            audit_max_shrink=args.audit_max_shrink,
         )
         print(json.dumps({
             "epochs_applied": st.epochs_applied,
@@ -230,6 +237,9 @@ def main(argv: list[str] | None = None) -> int:
             "events_applied": st.events_applied,
             "secs": round(st.secs, 2),
             "events_per_sec": round(st.events_per_sec, 1),
+            **({"rejected_epoch": st.rejected_epoch,
+                "reject_reason": st.reject_reason}
+               if st.rejected_epoch is not None else {}),
         }))
     elif args.cmd == "stream":
         from read_comp_data_pipeline_spark.streaming.stream import stream_ingest

@@ -79,6 +79,7 @@ from pyspark.sql import types as T
 from read_comp_data_pipeline_spark.schemas import KEY_COLS, MANIFEST_SCHEMA, METRICS_SCHEMA
 
 _CURRENT = "CURRENT"
+_STAGING = "STAGING"
 
 
 def bucket_expr(n_buckets: int, key_cols: list[str] | None = None):
@@ -184,8 +185,10 @@ class HashMergeTable:
         with open(os.path.join(self.path, "snapshots", name)) as f:
             return json.load(f)
 
-    def _commit_snapshot(self, snap: dict[str, Any]) -> None:
-        """Write snapshot JSON then atomically swing the CURRENT pointer.
+    def _commit_snapshot(self, snap: dict[str, Any], pointer: str = _CURRENT) -> None:
+        """Write snapshot JSON then atomically swing the ``pointer`` file
+        (CURRENT for a published commit; STAGING for a write-audit-publish
+        staged commit — invisible to readers until :meth:`publish_staged`).
 
         A crash before the final ``os.replace`` leaves the table at the
         previous snapshot (orphan data files are harmless and vacuumable);
@@ -200,12 +203,12 @@ class HashMergeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(snap_dir, name))
-        cur_tmp = os.path.join(self.path, f".CURRENT.{uuid.uuid4().hex}.tmp")
+        cur_tmp = os.path.join(self.path, f".{pointer}.{uuid.uuid4().hex}.tmp")
         with open(cur_tmp, "w") as f:
             f.write(name)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+        os.replace(cur_tmp, os.path.join(self.path, pointer))
 
     # -- properties -----------------------------------------------------------
 
@@ -435,10 +438,18 @@ class HashMergeTable:
         lag_events: int = 0,
         src_keys_broadcastable: bool = True,
         pre_commit=None,
+        stage: bool = False,
     ) -> dict[str, Any]:
         """Apply one compacted epoch slice. Source must have ≤1 row per key
         plus an ``op`` column ('I'/'U'/'D'); all non-op columns must exist in
         (or be castable to) the current table schema.
+
+        ``stage``: write-audit-publish — commit the epoch to the STAGING
+        pointer instead of CURRENT. Readers see nothing until
+        :meth:`publish_staged`; audit the staged state via
+        ``read(at_snapshot=staged_snapshot())`` and either publish or
+        :meth:`discard_staged`. One epoch stages at a time (re-staging the
+        SAME epoch is the idempotent crash-recovery path).
 
         ``affected_buckets``/``src_rows`` are optional hints (computed
         cheaply from the raw slice by the ingest loop — a pruned scan of the
@@ -467,8 +478,9 @@ class HashMergeTable:
         snap = self._snapshot()
         if epoch <= snap["epoch"]:
             return {"skipped": True, "epoch": epoch, "rows_applied": 0}
+        self._check_staging_clear(epoch, stage)
         if snap.get("mode", "cow") == "mor":
-            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows, lag_events, pre_commit)
+            return self._merge_mor(snap, source, epoch, src_seq_lo, src_seq_hi, t0, src_rows, lag_events, pre_commit, stage)
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
@@ -479,12 +491,12 @@ class HashMergeTable:
         else:
             affected = [r["_b"] for r in src.select("_b").distinct().collect()]
         if not affected:
-            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit)
+            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit, stage)
 
         merged = self._cow_plan(snap, src, op_col, affected, src_keys_broadcastable)
         return self._commit_cow(
             snap, merged, epoch, affected, src_seq_lo, src_seq_hi, t0,
-            src_rows, lag_events, pre_commit,
+            src_rows, lag_events, pre_commit, stage,
         )
 
     def merge_partial(
@@ -500,6 +512,7 @@ class HashMergeTable:
         lag_events: int = 0,
         folded_broadcastable: bool = True,
         pre_commit=None,
+        stage: bool = False,
     ) -> dict[str, Any]:
         """Apply one epoch of PARTIAL-COLUMN events (NULL tracked column =
         "not provided" — see operators/partial.py for the full semantics).
@@ -518,6 +531,7 @@ class HashMergeTable:
         snap = self._snapshot()
         if epoch <= snap["epoch"]:
             return {"skipped": True, "epoch": epoch, "rows_applied": 0}
+        self._check_staging_clear(epoch, stage)
         if snap.get("mode", "cow") != "cow":
             raise NotImplementedError("merge_partial requires a cow-mode table")
         from read_comp_data_pipeline_spark.operators.partial import (
@@ -541,7 +555,7 @@ class HashMergeTable:
         else:
             affected = [r["_b"] for r in folded.select("_b").distinct().collect()]
         if not affected:
-            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit)
+            return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit, stage)
         tgt = self.read(buckets=affected, at_snapshot=snap)
         merged = apply_partial(
             tgt, folded, value_cols, key_cols, snap.get("order_col", "seq"),
@@ -549,12 +563,13 @@ class HashMergeTable:
         ).withColumn("_b", bucket_expr(n_buckets, key_cols))
         return self._commit_cow(
             snap, merged, epoch, affected, src_seq_lo, src_seq_hi, t0,
-            src_rows, lag_events, pre_commit,
+            src_rows, lag_events, pre_commit, stage,
         )
 
     def _commit_cow(
         self, snap, merged: DataFrame, epoch: int, affected: list[int],
         src_seq_lo, src_seq_hi, t0, src_rows=None, lag_events=0, pre_commit=None,
+        stage: bool = False,
     ) -> dict[str, Any]:
         """Write a COW epoch's merged bucket set and commit the snapshot —
         the shared tail of :meth:`merge` and :meth:`merge_partial`."""
@@ -615,7 +630,7 @@ class HashMergeTable:
         snap["version"] += 1
         if pre_commit is not None:
             pre_commit()
-        self._commit_snapshot(snap)
+        self._commit_snapshot(snap, pointer=_STAGING if stage else _CURRENT)
         return {
             "skipped": False,
             "epoch": epoch,
@@ -777,6 +792,7 @@ class HashMergeTable:
     def _merge_mor(
         self, snap, source: DataFrame, epoch: int, lo, hi, t0,
         src_rows: int | None = None, lag_events: int = 0, pre_commit=None,
+        stage: bool = False,
     ) -> dict[str, Any]:
         """Merge-on-read arm: append the compacted slice (op retained) as a
         bucket-partitioned delta — no target read, no join, no rewrite.
@@ -809,7 +825,7 @@ class HashMergeTable:
             )
         bucket_rows = self._written_bucket_counts(out_path)
         if sum(bucket_rows.values()) == 0:
-            return self._commit_noop(snap, epoch, lo, hi, t0, pre_commit)
+            return self._commit_noop(snap, epoch, lo, hi, t0, pre_commit, stage)
         applied_rows = int(src_rows) if src_rows is not None else sum(bucket_rows.values())
 
         committed_ts = time.time()
@@ -852,7 +868,7 @@ class HashMergeTable:
         snap["version"] += 1
         if pre_commit is not None:
             pre_commit()
-        self._commit_snapshot(snap)
+        self._commit_snapshot(snap, pointer=_STAGING if stage else _CURRENT)
         return {
             "skipped": False,
             "epoch": epoch,
@@ -996,7 +1012,7 @@ class HashMergeTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def _commit_noop(self, snap, epoch, lo, hi, t0, pre_commit=None) -> dict[str, Any]:
+    def _commit_noop(self, snap, epoch, lo, hi, t0, pre_commit=None, stage: bool = False) -> dict[str, Any]:
         self._append_manifest(
             epoch,
             [
@@ -1016,7 +1032,7 @@ class HashMergeTable:
         snap["version"] += 1
         if pre_commit is not None:
             pre_commit()
-        self._commit_snapshot(snap)
+        self._commit_snapshot(snap, pointer=_STAGING if stage else _CURRENT)
         return {"skipped": False, "epoch": epoch, "rows_applied": 0, "buckets_touched": 0,
                 "secs": time.monotonic() - t0}
 
@@ -1107,13 +1123,18 @@ class HashMergeTable:
 
         snaps = self.snapshots()
         keep = snaps[-keep_snapshots:] if keep_snapshots > 0 else snaps[-1:]
-        tagged = set(self.tags().values())
-        if tagged:
-            kept_versions = {int(s["version"]) for s in keep}
-            keep = keep + [
-                s for s in snaps
-                if int(s["version"]) in tagged and int(s["version"]) not in kept_versions
-            ]
+        # the snapshots the pointers name are ALWAYS kept: with a staged
+        # snapshot pending (version = current+1), "last N by version" alone
+        # would expire CURRENT's own snapshot at keep_snapshots=1
+        pinned = {int(self._snapshot()["version"])} | set(self.tags().values())
+        staged = self.staged_snapshot()
+        if staged is not None:
+            pinned.add(int(staged["version"]))
+        kept_versions = {int(s["version"]) for s in keep}
+        keep = keep + [
+            s for s in snaps
+            if int(s["version"]) in pinned and int(s["version"]) not in kept_versions
+        ]
         referenced: set[str] = set()
         for s in keep:
             for e in s["buckets"].values():
@@ -1141,6 +1162,76 @@ class HashMergeTable:
                     os.remove(os.path.join(sdir, name))
                     removed_snaps += 1
         return {"removed_data_dirs": removed_dirs, "removed_snapshots": removed_snaps}
+
+    # -- write-audit-publish staging ----------------------------------------------
+
+    def _check_staging_clear(self, epoch: int, stage: bool) -> None:
+        """A pending staged snapshot blocks every commit except re-staging
+        the SAME epoch (the crash-recovery path): committing past it would
+        collide on the version number (staged version = current+1), and
+        publishing implicitly would defeat the audit gate. Loud-over-wrong."""
+        staged = self.staged_snapshot()
+        if staged is None:
+            return
+        if stage and int(staged.get("epoch", -2)) == int(epoch):
+            return  # idempotent re-stage after a crash
+        raise ValueError(
+            f"epoch {staged['epoch']} is staged but not published — "
+            "publish_staged() or discard_staged() first"
+        )
+
+    def staged_snapshot(self) -> dict[str, Any] | None:
+        """The pending staged snapshot (write-audit-publish), or None. A
+        STAGING pointer whose snapshot file is gone (discarded mid-crash)
+        reads as None."""
+        p = os.path.join(self.path, _STAGING)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            name = f.read().strip()
+        sp = os.path.join(self.path, "snapshots", name)
+        if not os.path.exists(sp):
+            return None
+        with open(sp) as f:
+            return json.load(f)
+
+    def publish_staged(self) -> dict[str, Any]:
+        """Atomically make the staged snapshot the table's CURRENT state —
+        the PUBLISH step of write-audit-publish. Call after auditing
+        ``read(at_snapshot=staged_snapshot())`` (row-count drift, dedup
+        rate, contamination — any operator works: the staged state is a
+        first-class snapshot)."""
+        staged = self.staged_snapshot()
+        if staged is None:
+            raise ValueError("no staged snapshot to publish")
+        name = f"snap-{staged['version']:08d}.json"
+        cur_tmp = os.path.join(self.path, f".{_CURRENT}.{uuid.uuid4().hex}.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, os.path.join(self.path, _CURRENT))
+        os.remove(os.path.join(self.path, _STAGING))
+        return {"published": True, "epoch": int(staged["epoch"]),
+                "version": int(staged["version"])}
+
+    def discard_staged(self) -> dict[str, Any]:
+        """Drop the staged snapshot without publishing — the audit REJECTED
+        the epoch. CURRENT never moved, so readers saw nothing; the epoch's
+        data files are orphaned (vacuumable) and the epoch number is free
+        to be re-merged after the upstream fix (its deterministic dirs are
+        overwritten). Pointer first, snapshot file second: a crash between
+        leaves an orphan snapshot file that the next commit of the same
+        version overwrites."""
+        staged = self.staged_snapshot()
+        if staged is None:
+            raise ValueError("no staged snapshot to discard")
+        os.remove(os.path.join(self.path, _STAGING))
+        sp = os.path.join(self.path, "snapshots", f"snap-{staged['version']:08d}.json")
+        if os.path.exists(sp):
+            os.remove(sp)
+        return {"discarded": True, "epoch": int(staged["epoch"]),
+                "version": int(staged["version"])}
 
     # -- rollback (recover-and-replay) -------------------------------------------
 
@@ -1218,6 +1309,11 @@ class HashMergeTable:
 
         if sum(x is not None for x in (version, epoch, tag)) != 1:
             raise ValueError("rollback needs exactly one of version=, epoch=, tag=")
+        if self.staged_snapshot() is not None:
+            raise ValueError(
+                "a staged snapshot is pending — publish_staged() or "
+                "discard_staged() before rolling back"
+            )
         cur = self._snapshot()
         if tag is not None:
             target = self.snapshot_by_tag(tag)

@@ -219,6 +219,9 @@ class IngestStats:
     events_applied: int = 0
     secs: float = 0.0
     per_epoch: list[dict] = field(default_factory=list)
+    # write-audit-publish: epoch rejected by the audit gate (loop stopped)
+    rejected_epoch: int | None = None
+    reject_reason: str | None = None
 
     @property
     def events_per_sec(self) -> float:
@@ -242,8 +245,24 @@ def run_ingest(
     prebucket_min_events: int = 500_000,
     maintain_every: int | None = 50,
     keep_snapshots: int = 25,
+    audit=None,
+    audit_max_shrink: float | None = None,
 ) -> IngestStats:
     """Tail the WAL from the last committed epoch to ``max_epoch``.
+
+    ``audit``/``audit_max_shrink`` turn each epoch into a
+    WRITE-AUDIT-PUBLISH commit: the MERGE lands on the STAGING pointer
+    (invisible to readers), the staged state is audited, and only a
+    passing epoch publishes. A failing epoch is DISCARDED (readers never
+    saw it — no rollback window) and the loop stops with
+    ``stats.rejected_epoch``/``reject_reason`` set; fix the WAL and
+    re-run — the epoch number is free to re-merge. ``audit_max_shrink``
+    is the declarative mass-delete guard: reject if the staged row count
+    shrinks by more than this fraction (COW evaluates it from snapshot
+    metadata — zero extra jobs; MOR counts the reconciled staged read).
+    ``audit`` is an arbitrary callable(staged_read_df) -> bool for
+    operator-level gates (dedup rate, contamination, anything in the
+    engine — the staged state is a first-class snapshot).
 
     Resumable and idempotent: the table's snapshot records the last
     committed epoch; already-committed epochs are skipped (exactly-once).
@@ -308,6 +327,7 @@ def run_ingest(
             compact_threshold=compact_threshold,
             prebucket_min_events=prebucket_min_events,
             maintain_every=maintain_every, keep_snapshots=keep_snapshots,
+            audit=audit, audit_max_shrink=audit_max_shrink,
         )
     finally:
         if prev_mpb is not None:
@@ -321,8 +341,11 @@ def _run_epochs(
     *, extract, mode, compact_every, quarantine, fail_after_epoch,
     validator=None, max_attempts=3, compact_threshold=5_000_000,
     prebucket_min_events=500_000, maintain_every=50, keep_snapshots=25,
+    audit=None, audit_max_shrink=None,
 ) -> None:
     from read_comp_data_pipeline_spark.operators.merge import bucket_expr
+
+    staging = audit is not None or audit_max_shrink is not None
 
     for epoch in range(table.last_epoch + 1, hi_epoch + 1):
         slice_df = wal_src.read_epoch(spark, wal_path, epoch)
@@ -458,9 +481,33 @@ def _run_epochs(
             # key count) — the MERGE falls back to shuffled probe joins
             src_keys_broadcastable=(cnt is None or cnt <= compact_threshold),
             pre_commit=quarantine_pre_commit,
+            stage=staging,
         )
         res["compact_strategy"] = strategy
         res["prebucketed"] = do_prebucket
+        if staging and not res.get("skipped"):
+            # WRITE-AUDIT-PUBLISH: the epoch landed on STAGING only —
+            # audit the staged state, publish on pass, discard and STOP
+            # on fail (a poisoned WAL needs intervention, not more epochs)
+            staged_snap = table.staged_snapshot()
+            reason = None
+            if audit_max_shrink is not None:
+                before = _snapshot_row_count(table, table._snapshot())
+                after = _snapshot_row_count(table, staged_snap)
+                if before > 0 and after < before * (1.0 - audit_max_shrink):
+                    reason = (
+                        f"staged row count shrank {before} -> {after} "
+                        f"(more than {audit_max_shrink:.0%} of the table)"
+                    )
+            if reason is None and audit is not None:
+                if not audit(table.read(at_snapshot=staged_snap)):
+                    reason = "audit callable rejected the staged state"
+            if reason is not None:
+                table.discard_staged()
+                stats.rejected_epoch = epoch
+                stats.reject_reason = reason
+                return
+            table.publish_staged()
         if res.get("skipped"):
             stats.epochs_skipped += 1
         else:
@@ -479,6 +526,15 @@ def _run_epochs(
                 table.compact_sidecars()
         if fail_after_epoch is not None and epoch >= fail_after_epoch:
             raise RuntimeError(f"injected failure after epoch {epoch}")
+
+
+def _snapshot_row_count(table, snap) -> int:
+    """Row count of a snapshot's state. COW: free from snapshot metadata
+    (per-bucket footer counts recorded at commit). MOR: the deltas make
+    metadata insufficient — one reconciled count (audits are opt-in)."""
+    if snap.get("mode", "cow") == "cow" and not snap.get("deltas"):
+        return sum(int(e.get("rows", 0)) for e in snap["buckets"].values())
+    return table.read(at_snapshot=snap).count()
 
 
 def _read_pending(spark: SparkSession, table_path: str, before_epoch: int) -> DataFrame | None:
