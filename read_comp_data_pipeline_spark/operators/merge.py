@@ -413,6 +413,7 @@ class HashMergeTable:
         types). Returns True if a new snapshot was committed. Existing data
         files are untouched; reads align old files to the new schema.
         """
+        self._check_staging_clear(-1, False)
         snap = self._snapshot()
         cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
         if cur.json() == new_schema.json():
@@ -683,6 +684,7 @@ class HashMergeTable:
         parse-checked here (F.expr parses lazily in PySpark 4, so the
         session parser is asked directly); unresolvable column references
         fail loudly at first enforcement."""
+        self._check_staging_clear(-1, False)
         try:
             parser = self.spark._jsparkSession.sessionState().sqlParser()
         except AttributeError:  # non-classic session (e.g. Connect)
@@ -701,6 +703,7 @@ class HashMergeTable:
         return {"constraints": cons}
 
     def drop_constraint(self, name: str) -> dict[str, Any]:
+        self._check_staging_clear(-1, False)
         snap = self._snapshot()
         cons = dict(snap.get("constraints") or {})
         if name not in cons:
@@ -718,6 +721,7 @@ class HashMergeTable:
         sorted by these columns. Run :meth:`compact_table` (mor) or
         :meth:`rebucket` (same bucket count is rejected — use any rewrite)
         to re-cluster history immediately."""
+        self._check_staging_clear(-1, False)
         snap = self._snapshot()
         cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
         have = {f.name for f in cur.fields}
@@ -901,6 +905,7 @@ class HashMergeTable:
         """Maintenance compaction (mor mode): fold all deltas into the base
         and clear them. Runs off the hot ingest path (every N epochs); the
         analogue of Iceberg's rewrite_data_files."""
+        self._check_staging_clear(-1, False)
         t0 = time.monotonic()
         snap = self._snapshot()
         if snap.get("mode", "cow") != "mor" or not snap.get("deltas"):
@@ -938,6 +943,7 @@ class HashMergeTable:
         rewrite. The changelog across a rebucket is EMPTY — the bucket
         diff flags everything (superset) but finds no logical change.
         """
+        self._check_staging_clear(-1, False)
         if int(new_n_buckets) < 1:
             raise ValueError(f"rebucket: n_buckets must be >= 1, got {new_n_buckets}")
         t0 = time.monotonic()
@@ -1544,6 +1550,7 @@ class HashMergeTable:
         next invocation's cleanup); a crash after it leaves stale
         per-epoch/segment files the watermark and segment list already
         exclude. Readers can never see a folded row twice."""
+        self._check_staging_clear(-1, False)
         import pyarrow as pa
         import pyarrow.parquet as pq
 

@@ -173,3 +173,23 @@ def test_ingest_audit_callable_gates_publish(spark, tmp_path):
     t = HashMergeTable(spark, tbl)
     assert t.last_epoch == 0 and t.read().count() == 8
     assert {r["content"] for r in t.read().collect()} == {f"v{i}" for i in range(8)}
+
+
+def test_pending_stage_blocks_maintenance_commits(table, spark):
+    """Every snapshot-committing mutator must refuse while a stage is
+    pending — its commit would collide with the staged version number
+    (and a later publish would then 'publish' the wrong snapshot)."""
+    table.merge(_src(spark, [("r", "c", "c0", 10, "I")]), epoch=1, stage=True)
+    with pytest.raises(ValueError, match="staged but not published"):
+        table.set_sort_order(["seq"])
+    with pytest.raises(ValueError, match="staged but not published"):
+        table.set_constraint("c1", "seq >= 0")
+    with pytest.raises(ValueError, match="staged but not published"):
+        table.rebucket(4)
+    with pytest.raises(ValueError, match="staged but not published"):
+        table.compact_sidecars()
+    if table._snapshot().get("mode") == "mor":
+        with pytest.raises(ValueError, match="staged but not published"):
+            table.compact_table()
+    table.publish_staged()
+    table.set_sort_order(["seq"])  # clears after publish
