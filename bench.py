@@ -66,6 +66,7 @@ HEADLINE = [
     "bm25_topk",
     "dup_ngram_spans",
     "cdc_partial_updates",
+    "emb_near_dup_incremental",
 ]
 
 # replay benchmark size (events); override with SPARK_GRAFT_BENCH_EVENTS
@@ -186,6 +187,8 @@ def bench_partial_replay(spark, n_events: int, epoch_size: int) -> tuple[float, 
             table.merge_partial(
                 sl, epoch, ["title", "text"], src_seq_lo=lo, src_seq_hi=hi,
                 folded_broadcastable=epoch_size <= 2_000_000,
+                # dense generated seq: slice size free → fold auto-switch
+                src_rows=min(hi + 1, n_events) - lo,
             )
         secs = time.monotonic() - t0
         return secs, (n_events / secs if secs > 0 else 0.0)

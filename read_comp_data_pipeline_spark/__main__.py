@@ -444,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
 
         t = HashMergeTable(spark, args.table)
         snap = t._snapshot()
+        staged = t.staged_snapshot()
         print(json.dumps({
             "rows": t.read().count(),
             "last_epoch": t.last_epoch,
@@ -453,6 +454,7 @@ def main(argv: list[str] | None = None) -> int:
             "sort_order": snap.get("sort_order") or [],
             "constraints": snap.get("constraints") or {},
             "tags": t.tags(),
+            **({"staged_epoch": int(staged["epoch"])} if staged else {}),
         }))
         t.manifest().orderBy("epoch", "partition").show(20, truncate=False)
     return 0

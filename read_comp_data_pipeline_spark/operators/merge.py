@@ -81,6 +81,12 @@ from read_comp_data_pipeline_spark.schemas import KEY_COLS, MANIFEST_SCHEMA, MET
 _CURRENT = "CURRENT"
 _STAGING = "STAGING"
 
+# merge_partial fold auto-switch: slices at or below this row count (known
+# free from parquet footers via the src_rows hint) fold through the
+# one-aggregate sort_agg strategy; larger (or unknown-size) slices take
+# hash_fetch, whose plan never sorts the payload (operators/partial.py)
+_FOLD_SORT_MAX_ROWS = 1_000_000
+
 
 def bucket_expr(n_buckets: int, key_cols: list[str] | None = None):
     key_cols = key_cols or KEY_COLS
@@ -542,14 +548,25 @@ class HashMergeTable:
 
         n_buckets = snap["n_buckets"]
         key_cols = snap["key_cols"]
+        # fold-strategy auto-switch (same footer-derived discipline as the
+        # compaction strategy): a SMALL slice folds cheaper through the
+        # one-aggregate sort_agg (its per-task sort is tiny; hash_fetch's
+        # 1+|cols| scans and joins cost more jobs than they save), a BIG
+        # slice must take hash_fetch — the payload sort is what made
+        # local[32] slower than local[8] on the 8M-event protocol. Both
+        # strategies are value-identical (parity-tested).
+        strategy = "sort_agg" if (
+            src_rows is not None and int(src_rows) <= _FOLD_SORT_MAX_ROWS
+        ) else "hash_fetch"
         # materialize the fold ONCE per epoch (localCheckpoint, same
         # discipline as connected_components): the apply consumes it
         # through several lineages (bucket hint, untouched-row anti probe,
         # matched-row probe, the column merge) and without truncation each
-        # would re-run the slice's sort-aggregate — measured 8M-event
-        # protocol: the recompute made local[32] SLOWER than local[8]
+        # would re-run the slice's fold — measured 8M-event protocol: the
+        # recompute made local[32] SLOWER than local[8]
         folded = fold_partial_updates(
-            source, value_cols, key_cols, snap.get("order_col", "seq"), op_col
+            source, value_cols, key_cols, snap.get("order_col", "seq"), op_col,
+            strategy=strategy,
         ).withColumn("_b", bucket_expr(n_buckets, key_cols)).localCheckpoint()
         if affected_buckets is not None:
             affected = list(affected_buckets)

@@ -417,7 +417,12 @@ def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for epoch in range(n // epoch_size + 1):
         lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size - 1
         sl = wal.where(F.col("seq").between(lo, hi))
-        table.merge_partial(sl, epoch, ["title", "text"], src_seq_lo=lo, src_seq_hi=hi)
+        table.merge_partial(
+            sl, epoch, ["title", "text"], src_seq_lo=lo, src_seq_hi=hi,
+            # seq is dense (row_number-derived): slice size known for free,
+            # so the fold auto-switch picks the small-slice sort_agg here
+            src_rows=min(hi, n) - lo + 1,
+        )
     return table.read().select(
         "repo", "path",
         "title", F.col("_s_title").alias("title_seq"),

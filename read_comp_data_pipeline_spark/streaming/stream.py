@@ -173,6 +173,8 @@ def stream_ingest_partial(
                 # batch whose key set can't be assumed broadcastable takes
                 # shuffled probe joins instead of a driver-built broadcast
                 folded_broadcastable=(n <= compact_threshold),
+                # batch size already counted above → fold auto-switch
+                src_rows=int(n),
             )
         finally:
             batch_df.unpersist()

@@ -405,3 +405,32 @@ def test_hash_fetch_fold_never_sorts_the_payload(spark):
     assert "HashAggregate" in phys, phys
     assert "SortMergeJoin" not in phys, phys
     assert "Sort " not in phys, phys
+
+
+def test_merge_partial_fold_strategy_auto_switch(spark, monkeypatch):
+    """merge_partial picks the fold strategy from the src_rows hint (same
+    footer-derived discipline as the compaction auto-switch): small slices
+    take the cheaper one-aggregate sort_agg; large or UNKNOWN-size slices
+    take the scale-safe hash_fetch (payload never sorts)."""
+    import read_comp_data_pipeline_spark.operators.partial as P
+
+    seen: list[str] = []
+    orig = P.fold_partial_updates
+
+    def spy(*a, **kw):
+        seen.append(kw.get("strategy", "hash_fetch"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(P, "fold_partial_updates", spy)
+    t = _make_table(spark, 'autosw_')
+    evs = _random_events(21, n=60, keys=10)
+    df = spark.createDataFrame(evs, EVENT_SCHEMA)
+    t.merge_partial(df.where("seq < 30"), 0, VALUE_COLS, src_rows=30)
+    t.merge_partial(df.where("seq >= 30"), 1, VALUE_COLS, src_rows=5_000_000)
+    t2 = _make_table(spark, 'autosw2_')
+    t2.merge_partial(df.where("seq < 30"), 0, VALUE_COLS)  # size unknown
+    assert seen == ["sort_agg", "hash_fetch", "hash_fetch"]
+    # and the mixed-strategy replay still matches the interpreter
+    assert _rows_from_table(t.read()) == _rows_from_table(
+        _replay(spark, _make_table(spark, 'autosw3_'), evs).read()
+    )
