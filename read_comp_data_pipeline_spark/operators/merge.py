@@ -1206,12 +1206,21 @@ class HashMergeTable:
     def staged_snapshot(self) -> dict[str, Any] | None:
         """The pending staged snapshot (write-audit-publish), or None. A
         STAGING pointer whose snapshot file is gone (discarded mid-crash)
-        reads as None."""
+        reads as None; a STAGING pointer naming the SAME snapshot as
+        CURRENT means a publish crashed between the two pointer writes —
+        the publish already fully happened, so the stale pointer is
+        removed here (self-healing read; otherwise _check_staging_clear
+        would block every commit and a discard_staged 'cleanup' would
+        delete the very snapshot CURRENT names, bricking the table)."""
         p = os.path.join(self.path, _STAGING)
         if not os.path.exists(p):
             return None
         with open(p) as f:
             name = f.read().strip()
+        with open(os.path.join(self.path, _CURRENT)) as f:
+            if f.read().strip() == name:
+                os.remove(p)
+                return None
         sp = os.path.join(self.path, "snapshots", name)
         if not os.path.exists(sp):
             return None

@@ -141,8 +141,15 @@ def fold_partial_updates(
             out_cols.append(F.when(live, F.col(shadow_col(c))).alias(shadow_col(c)))
         out = seqs.select(*out_cols)
         # 2) per column: stream the slice through a semi probe on
-        #    (key, winning seq) — ≤1 surviving row per key, payload
-        #    untouched by any sort or broadcast
+        #    (key, winning seq) — ≤1 surviving EVENT per key, payload
+        #    untouched by any sort or broadcast. An at-least-once feed can
+        #    redeliver the winning event inside the slice (same key+seq,
+        #    same payload — seq is the WAL's total order, so (key, seq)
+        #    determines the event); the semi join keeps every copy, so a
+        #    distinct() collapses them back to the ≤1-row/key contract.
+        #    distinct has NO aggregate buffers — group-by-all compiles to
+        #    HashAggregate even with string columns (plan-tested: still no
+        #    Sort anywhere).
         for c in value_cols:
             probe = out.where(F.col(shadow_col(c)).isNotNull()).select(
                 *key_cols, F.col(shadow_col(c)).alias(order_col)
@@ -151,6 +158,7 @@ def fold_partial_updates(
                 df.where(F.col(c).isNotNull() & not_del)
                 .join(probe.hint("SHUFFLE_HASH"), on=[*key_cols, order_col], how="left_semi")
                 .select(*key_cols, F.col(c))
+                .distinct()
             )
             # 3) assemble on the key: compact ≤1-row/key relations,
             #    SHUFFLE_HASH so the planner never sorts them into an SMJ

@@ -472,10 +472,22 @@ _EMB_STORE_BUCKETS = 16
 
 
 def _vec_hash(vec: Column) -> Column:
-    """Deterministic content hash of a float vector (exact-duplicate
-    identity — same float values ⇒ same hash on both the store-build and
-    the delta side, both Spark-computed)."""
-    return F.md5(F.concat_ws(",", F.transform(vec, lambda x: x.cast("float").cast("string"))))
+    """Deterministic content hash of a vector (exact-duplicate identity —
+    same values ⇒ same hash on both the store-build and the delta side,
+    both Spark-computed). Faithful to the batch pipeline's groupBy on the
+    raw array: full double precision (no float truncation that would merge
+    sub-float-distinct vectors) and NULL elements keep their position via
+    a sentinel no numeric string can collide with (concat_ws alone would
+    silently DROP nulls, hashing [1,null,2] and [1,2,null] identically)."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                vec,
+                lambda x: F.coalesce(x.cast("double").cast("string"), F.lit("∅")),
+            ),
+        )
+    )
 
 
 def _ek_expr():
@@ -484,13 +496,17 @@ def _ek_expr():
     return F.pmod(F.xxhash64(F.col("bucket")), F.lit(_EMB_STORE_BUCKETS)).cast("int")
 
 
-def _write_emb_store_meta(path: str, n_planes: int, dim: int) -> None:
+def _write_emb_store_meta(path: str, n_planes: int, dim: int, threshold: float) -> None:
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_store_meta.json"), "w") as f:
-        json.dump({"n_planes": n_planes, "dim": dim, "buckets": _EMB_STORE_BUCKETS}, f)
+        json.dump(
+            {"n_planes": n_planes, "dim": dim, "threshold": threshold,
+             "buckets": _EMB_STORE_BUCKETS},
+            f,
+        )
 
 
 def build_embedding_store(
@@ -537,7 +553,7 @@ def build_embedding_store(
         reps.select(F.col("id"), F.col("vec")), threshold, n_planes, dim,
         id_col="id", vec_col="vec", collapse=False,
     )
-    _write_emb_store_meta(path, n_planes, dim)
+    _write_emb_store_meta(path, n_planes, dim, threshold)
     grp.write.mode("overwrite").parquet(f"{path}/groups")
     exact.write.mode("overwrite").parquet(f"{path}/exact_edges")
     reps.withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy("ek").parquet(
@@ -571,6 +587,20 @@ def _emb_incremental_state(
                 f"embedding store at {store_path} was built with "
                 f"n_planes/dim={meta.get('n_planes')}/{meta.get('dim')}, "
                 f"got {n_planes}/{dim}"
+            )
+        # threshold gates which rep-rep edges the store PERSISTED — a
+        # looser delta threshold would silently miss every corpus-internal
+        # pair in [new, stored) (the batch-equality contract breaks with
+        # no error); a bucket-count change would prune the wrong ek files
+        if meta.get("threshold") is not None and float(meta["threshold"]) != float(threshold):
+            raise ValueError(
+                f"embedding store at {store_path} was built with "
+                f"threshold={meta['threshold']}, got {threshold}"
+            )
+        if meta.get("buckets") is not None and int(meta["buckets"]) != _EMB_STORE_BUCKETS:
+            raise ValueError(
+                f"embedding store at {store_path} was partitioned into "
+                f"{meta['buckets']} ek buckets; this build uses {_EMB_STORE_BUCKETS}"
             )
 
     spark = delta.sparkSession
@@ -637,6 +667,11 @@ def _emb_incremental_state(
     reps_pruned = reps_s.where(F.col("ek").isin(eks) if eks else F.lit(False))
     cross_edges = (
         new_reps.alias("dl").join(reps_pruned.alias("st"), on="bucket")
+        # batch's self-join filters a.id < b.id and can never emit a
+        # self-pair; without this guard, a delta row REUSING a corpus
+        # vec_id with a changed vector (new vec_hash, old id) would emit
+        # (X, X, cosine) here
+        .where(F.col("dl.id") != F.col("st.id"))
         .select(
             F.least(F.col("dl.id"), F.col("st.id")).alias("id_a"),
             F.greatest(F.col("dl.id"), F.col("st.id")).alias("id_b"),
@@ -740,7 +775,7 @@ def update_embedding_store(
     st = _emb_incremental_state(
         delta, store_path, id_col, vec_col, n_planes, dim, threshold
     )
-    _write_emb_store_meta(out_path, n_planes, dim)
+    _write_emb_store_meta(out_path, n_planes, dim, threshold)
     st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups")
     st["exact_edges"].write.mode("overwrite").parquet(f"{out_path}/exact_edges")
     st["reps"].withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy(

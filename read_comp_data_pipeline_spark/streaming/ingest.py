@@ -346,6 +346,10 @@ def _run_epochs(
     from read_comp_data_pipeline_spark.operators.merge import bucket_expr
 
     staging = audit is not None or audit_max_shrink is not None
+    # 'before' carries across epochs: publish is a pointer swing, so this
+    # epoch's 'after' IS the next epoch's 'before' — on MOR that halves
+    # the audit cost (one reconciled count per epoch, not two)
+    audit_prev_rows: int | None = None
 
     for epoch in range(table.last_epoch + 1, hi_epoch + 1):
         slice_df = wal_src.read_epoch(spark, wal_path, epoch)
@@ -492,13 +496,19 @@ def _run_epochs(
             staged_snap = table.staged_snapshot()
             reason = None
             if audit_max_shrink is not None:
-                before = _snapshot_row_count(table, table._snapshot())
+                before = (
+                    audit_prev_rows
+                    if audit_prev_rows is not None
+                    else _snapshot_row_count(table, table._snapshot())
+                )
                 after = _snapshot_row_count(table, staged_snap)
                 if before > 0 and after < before * (1.0 - audit_max_shrink):
                     reason = (
                         f"staged row count shrank {before} -> {after} "
                         f"(more than {audit_max_shrink:.0%} of the table)"
                     )
+                else:
+                    audit_prev_rows = after
             if reason is None and audit is not None:
                 if not audit(table.read(at_snapshot=staged_snap)):
                     reason = "audit callable rejected the staged state"

@@ -206,3 +206,53 @@ def test_emb_store_parameter_mismatch_fails_loudly(spark):
         incremental_embedding_near_dups(delta, store, n_planes=5, dim=8, threshold=0.9)
     with pytest.raises(ValueError, match="must differ"):
         update_embedding_store(delta, store, store, **PARAMS)
+
+
+def test_emb_store_threshold_mismatch_fails_loudly(spark):
+    """The store's persisted edges relation only contains rep-rep pairs at
+    or above the BUILD threshold — a looser delta threshold would silently
+    miss every corpus-internal pair below it, so the meta guard raises."""
+    corpus, delta = _corpus_and_delta(spark)
+    store = tempfile.mkdtemp(prefix="embthr_")
+    build_embedding_store(corpus, store, n_planes=3, dim=8, threshold=0.9)
+    with pytest.raises(ValueError, match="threshold"):
+        incremental_embedding_near_dups(delta, store, n_planes=3, dim=8, threshold=0.5)
+
+
+def test_emb_vec_hash_keeps_null_positions_and_double_precision(spark):
+    """The exact-duplicate identity must match the batch pipeline's groupBy
+    on the raw array: [1,null,2] and [1,2,null] are DISTINCT vectors (a
+    null-dropping concat would merge them), and values differing below
+    float precision stay distinct."""
+    from read_comp_data_pipeline_spark.operators.similarity import _vec_hash
+
+    rows = spark.createDataFrame(
+        [
+            (1, [1.0, None, 2.0]),
+            (2, [1.0, 2.0, None]),
+            (3, [1.0, 2.0, 2.0000001]),   # differs from 4 below float precision
+            (4, [1.0, 2.0, 2.00000012]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hashes = {r["vec_id"]: r["h"] for r in rows.select(
+        "vec_id", _vec_hash(F.col("embedding")).alias("h")).collect()}
+    assert hashes[1] != hashes[2]
+    assert hashes[3] != hashes[4]
+
+
+def test_emb_incremental_emits_no_self_pairs_on_id_reuse(spark):
+    """A delta row reusing a corpus vec_id with a CHANGED vector becomes a
+    new rep while the store still holds a rep under the same id; if both
+    land in one bucket (a scaled vector always does — hyperplane signs are
+    scale-invariant) the cross join must not emit (X, X) — the batch
+    self-join's a.id < b.id never does."""
+    A = _vec("A")
+    corpus = spark.createDataFrame([(100, A), (103, _vec("B"))], SCHEMA)
+    delta = spark.createDataFrame(
+        [(100, [round(x * 1.5, 4) for x in A])], SCHEMA  # same signs, new hash
+    )
+    store = tempfile.mkdtemp(prefix="embself_")
+    build_embedding_store(corpus, store, **PARAMS)
+    out = incremental_embedding_near_dups(delta, store, **PARAMS)
+    assert out.where(F.col("id_a") == F.col("id_b")).count() == 0

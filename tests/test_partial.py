@@ -434,3 +434,29 @@ def test_merge_partial_fold_strategy_auto_switch(spark, monkeypatch):
     assert _rows_from_table(t.read()) == _rows_from_table(
         _replay(spark, _make_table(spark, 'autosw3_'), evs).read()
     )
+
+
+def test_hash_fetch_fold_collapses_at_least_once_duplicates(spark):
+    """An at-least-once WAL can redeliver the winning event inside a slice
+    (same key+seq+payload). The semi-probe keeps every copy, so without
+    the post-probe distinct the folded frame would carry >1 row per key
+    and apply_partial would commit duplicate key rows — the ≤1-row/key
+    contract must hold under redelivery, and match sort_agg."""
+    rows = [
+        (0, "r", "a", "I", "t0", "x0"),
+        (5, "r", "a", "U", "t5", None),
+        (5, "r", "a", "U", "t5", None),   # redelivered winning event
+        (5, "r", "a", "U", "t5", None),   # and again
+        (1, "r", "b", "I", None, "y1"),
+        (1, "r", "b", "I", None, "y1"),   # duplicate is the key's ONLY event pair
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    for strat in ("hash_fetch", "sort_agg"):
+        folded = fold_partial_updates(df, VALUE_COLS, strategy=strat)
+        per_key = folded.groupBy("repo", "path").count().collect()
+        assert all(r["count"] == 1 for r in per_key), (strat, per_key)
+    got = {
+        (r["repo"], r["path"], r["title"], r["text"])
+        for r in fold_partial_updates(df, VALUE_COLS).collect()
+    }
+    assert got == {("r", "a", "t5", "x0"), ("r", "b", None, "y1")}

@@ -193,3 +193,30 @@ def test_pending_stage_blocks_maintenance_commits(table, spark):
             table.compact_table()
     table.publish_staged()
     table.set_sort_order(["seq"])  # clears after publish
+
+
+def test_crashed_publish_self_heals_instead_of_bricking(table, spark):
+    """A crash between publish's two pointer writes leaves STAGING naming
+    the SAME snapshot CURRENT names. That stale pointer must read as 'no
+    pending stage' (and be removed) — the old behavior blocked every
+    subsequent commit, and a discard_staged 'cleanup' would have deleted
+    the very snapshot file CURRENT points to, bricking the table."""
+    import os
+
+    table.merge(_src(spark, [("r", "c", "c0", 10, "I")]), epoch=1, stage=True)
+    # simulate the crash window: CURRENT swung, STAGING not yet removed
+    with open(os.path.join(table.path, "STAGING")) as f:
+        staged_name = f.read().strip()
+    cur = os.path.join(table.path, "CURRENT")
+    with open(cur, "w") as f:
+        f.write(staged_name)
+    # self-heal: no pending stage reported, stale pointer gone
+    assert table.staged_snapshot() is None
+    assert not os.path.exists(os.path.join(table.path, "STAGING"))
+    # the table reads the published state and commits continue normally
+    assert ("r", "c", "c0", 10) in _state(table)
+    table.merge(_src(spark, [("r", "d", "d0", 11, "I")]), epoch=2)
+    assert table.last_epoch == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no staged snapshot"):
+        table.discard_staged()
