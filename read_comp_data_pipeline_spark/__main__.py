@@ -97,6 +97,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         if name == "stream":
             p.add_argument("--checkpoint", required=True)
+            p.add_argument(
+                "--audit-max-shrink", type=float, default=None,
+                help="write-audit-publish per micro-batch: discard + fail "
+                     "the query if the table row count shrinks by more "
+                     "than this fraction (restart after the fix re-delivers "
+                     "the rejected batch — checkpoint never advanced)",
+            )
 
     for name in ("compact", "compact-sidecars", "vacuum", "show", "requeue"):
         p = sub.add_parser(name)
@@ -247,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
         stream_ingest(
             spark, args.wal, args.table, checkpoint_path=args.checkpoint,
             n_buckets=args.buckets, mode=args.mode,
+            audit_max_shrink=args.audit_max_shrink,
         )
         print(json.dumps({"done": True}))
     elif args.cmd == "compact":

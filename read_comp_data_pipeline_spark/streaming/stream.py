@@ -47,9 +47,19 @@ def stream_ingest(
     mode: str = "mor",
     max_files_per_trigger: int | None = None,
     compact_threshold: int = 5_000_000,
+    audit_max_shrink: float | None = None,
 ) -> None:
     """Run the WAL through Structured Streaming until no data remains
-    (AvailableNow), applying each micro-batch as one MERGE epoch."""
+    (AvailableNow), applying each micro-batch as one MERGE epoch.
+
+    ``audit_max_shrink`` is the streaming arm of the batch loop's
+    write-audit-publish gate (``ingest.run_ingest``): each micro-batch
+    stages, the staged row count is checked against the shrink bound,
+    and a poisoned batch is DISCARDED (readers never saw it) with the
+    stream stopped by raising — foreachBatch exceptions fail the query,
+    which is the correct behavior for a mass-delete upstream bug: the
+    checkpoint has not advanced past the rejected batch, so a restart
+    after the fix re-delivers it."""
     if not HashMergeTable.exists(table_path):
         HashMergeTable.create(spark, table_path, TARGET_SCHEMA, n_buckets=n_buckets, mode=mode)
     table = HashMergeTable(spark, table_path)
@@ -98,12 +108,30 @@ def stream_ingest(
                     spark.sparkContext.defaultParallelism,
                 )
             src = prepare_target_rows(compacted)
+            staging = audit_max_shrink is not None
             table.merge(
                 src,
                 table.last_epoch + 1,
                 src_seq_lo=int(lo),
                 src_seq_hi=int(hi),
+                stage=staging,
             )
+            if staging:
+                from read_comp_data_pipeline_spark.streaming.ingest import (
+                    _snapshot_row_count,
+                )
+
+                staged_snap = table.staged_snapshot()
+                before = _snapshot_row_count(table, table._snapshot())
+                after = _snapshot_row_count(table, staged_snap)
+                if before > 0 and after < before * (1.0 - audit_max_shrink):
+                    table.discard_staged()
+                    raise RuntimeError(
+                        f"audit rejected streaming batch {batch_id}: staged "
+                        f"row count shrank {before} -> {after} (more than "
+                        f"{audit_max_shrink:.0%} of the table)"
+                    )
+                table.publish_staged()
         finally:
             batch_df.unpersist()
 

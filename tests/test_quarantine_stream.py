@@ -328,3 +328,57 @@ def test_dirty_then_clean_epoch_still_clears_pending(spark, tmp_path):
     # (clearing pending); epoch 2 had nothing pending and was clean → no dir
     assert dirs == ["e0000000000", "e0000000001"]
     assert not os.path.isdir(os.path.join(qdir, "e0000000001", "status=pending"))
+
+
+def test_stream_audit_rejects_poison_batch_and_restart_redelivers(spark, tmp_path):
+    """Streaming arm of the WAP gate: a micro-batch that mass-deletes is
+    staged, rejected (readers never saw it), and the QUERY FAILS — the
+    checkpoint has not advanced past it, so a restart (after review/fix)
+    re-delivers the batch and the stream converges."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    def ts(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+    inserts = [(i, 0, ts(i), "I", "r", f"k{i}", "c", "py", f"v{i}") for i in range(10)]
+    deletes = [(10 + i, 1, ts(10 + i), "D", "r", f"k{i}", None, None, None)
+               for i in range(9)]
+    wal_path = str(tmp_path / "wal")
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in WAL_SCHEMA.fields]
+    )
+    # two separate writes: the file source orders micro-batches by file
+    # modification time, so the insert files must exist BEFORE the poison
+    # delete files (one combined write gives every file the same mtime and
+    # the delivery order becomes arbitrary)
+    import time as _time
+
+    spark.createDataFrame(inserts, nullable).coalesce(1).write.partitionBy(
+        "epoch"
+    ).parquet(wal_path)
+    _time.sleep(1.1)
+    spark.createDataFrame(deletes, nullable).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("epoch").parquet(wal_path)
+
+    tbl = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="audit rejected streaming batch"):
+        stream_ingest(
+            spark, wal_path, tbl, checkpoint_path=ckpt, n_buckets=2,
+            mode="mor", max_files_per_trigger=1, audit_max_shrink=0.5,
+        )
+    t = HashMergeTable(spark, tbl)
+    assert t.read().count() == 10          # poison batch never visible
+    assert t.staged_snapshot() is None     # discarded, not lingering
+    # restart WITHOUT the guard (the deletes were reviewed as legit):
+    # the unadvanced checkpoint re-delivers the rejected batch
+    stream_ingest(
+        spark, wal_path, tbl, checkpoint_path=ckpt, n_buckets=2,
+        mode="mor", max_files_per_trigger=1,
+    )
+    assert {r["path"] for r in t.read().collect()} == {"k9"}
