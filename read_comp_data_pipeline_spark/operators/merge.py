@@ -120,7 +120,18 @@ def _align(df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()) -> D
 
 
 class HashMergeTable:
-    """A key-partitioned MERGE target with atomic snapshot commits."""
+    """A key-partitioned MERGE target with atomic snapshot commits.
+
+    Concurrency contract: ONE writer per table (the engine's ingest loop).
+    Commits are crash-atomic (snapshot file then pointer swing) but not
+    compare-and-swap — two concurrent writers could both write version
+    N+1 and the second pointer swing would win, silently dropping the
+    first commit. That is the documented trade of plain-filesystem
+    metadata; on a real catalog the swap point is Iceberg's optimistic
+    CAS commit (``merge_sql_for_iceberg``), which turns the race into a
+    retryable CommitFailedException. Readers are unlimited: they resolve
+    one pointer read and only ever see fully-committed snapshots.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
