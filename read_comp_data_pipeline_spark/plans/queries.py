@@ -182,6 +182,83 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_FROM_CDC_ORACLE = f"""
+    WITH wal AS (
+      SELECT event_id AS seq,
+             'u' || (user_id % 10) AS repo,
+             'p' || user_id AS path,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             props || ':' || event_type AS content
+      FROM events
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+        FROM wal
+      ) WHERE rn = 1
+    ),
+    state AS (
+      SELECT repo, path, content, sha256(content) AS content_sha
+      FROM latest WHERE op <> 'D'
+    ),
+    ne AS (
+      SELECT * FROM state
+      WHERE content IS NOT NULL AND length(trim(content)) > 0
+    ),
+    keep AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_sha ORDER BY repo, path) AS krn
+        FROM ne
+      ) WHERE krn = 1
+    )
+    SELECT repo, path, content_sha, n_tokens FROM (
+      SELECT repo, path, content_sha,
+             CAST(length(regexp_extract_all(content,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM keep
+    ) WHERE n_tokens >= 3
+"""
+
+
+@_q("corpus_from_cdc", _CORPUS_FROM_CDC_ORACLE)
+def corpus_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END story as one gated query: CDC replay → curated
+    training corpus. Replays the WAL through the real engine
+    (cdc_replay_final_state — compaction + extraction + MERGE commits),
+    then runs the training-data steps OVER THE LIVE TABLE's final state:
+    non-empty guard → exact dedup on content_sha (keeper = lexicographic
+    min (repo, path), via the map-side-combinable min-struct aggregate —
+    the paragraphs.py discipline, not a row_number window) → token-count
+    floor. Every other curation entry runs over the static documents
+    table; this one proves the pipeline composes with the CDC engine's
+    output — the 'replay then train' loop a real user runs. Beyond-gate
+    composition of gated families (cdc_replay_final_state, dedup_exact,
+    a4 token stats); full local-oracle evidence."""
+    state = cdc_replay_final_state(spark, sf_dir)
+    ne = state.where(
+        F.col("content").isNotNull() & (F.length(F.trim(F.col("content"))) > 0)
+    )
+    keepers = ne.groupBy("content_sha").agg(
+        F.min(F.struct("repo", "path")).alias("k")
+    )
+    keep = ne.join(
+        keepers.select(
+            "content_sha",
+            F.col("k.repo").alias("repo"),
+            F.col("k.path").alias("path"),
+        ),
+        on=["content_sha", "repo", "path"],
+        how="left_semi",
+    )
+    return (
+        keep.withColumn("n_tokens", textstats.token_count(F.col("content")))
+        .where(F.col("n_tokens") >= 3)
+        .select("repo", "path", "content_sha", "n_tokens")
+    )
+
+
 _CDC_CHANGES_ORACLE = """
     WITH wal AS (
       SELECT event_id AS seq,
@@ -2610,6 +2687,8 @@ _BEYOND_GATE = [
     "sample_to_token_budget",      # sampling/packing family: token budget
     "paragraph_dedup_incremental", # paragraph_dedup × incremental store
     "emb_near_dup_incremental",    # emb_near_dup_lsh × incremental store
+    "corpus_from_cdc",             # cdc_replay_final_state × dedup/quality
+                                   # (the replay-then-train integration)
                                    # (both families gated: paragraph_dedup,
                                    # dedup_incremental)
 ]
