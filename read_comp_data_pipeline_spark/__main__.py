@@ -60,6 +60,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import os
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -463,6 +464,10 @@ def main(argv: list[str] | None = None) -> int:
             "constraints": snap.get("constraints") or {},
             "tags": t.tags(),
             **({"staged_epoch": int(staged["epoch"])} if staged else {}),
+            **(lambda d: {"audit_rejections": len(d)} if d else {})(
+                sorted(os.listdir(os.path.join(args.table, "audits")))
+                if os.path.isdir(os.path.join(args.table, "audits")) else []
+            ),
         }))
         t.manifest().orderBy("epoch", "partition").show(20, truncate=False)
     return 0

@@ -514,6 +514,7 @@ def _run_epochs(
                     reason = "audit callable rejected the staged state"
             if reason is not None:
                 table.discard_staged()
+                _record_audit_rejection(table_path, epoch, reason)
                 stats.rejected_epoch = epoch
                 stats.reject_reason = reason
                 return
@@ -536,6 +537,26 @@ def _run_epochs(
                 table.compact_sidecars()
         if fail_after_epoch is not None and epoch >= fail_after_epoch:
             raise RuntimeError(f"injected failure after epoch {epoch}")
+
+
+def _record_audit_rejection(table_path: str, epoch: int, reason: str) -> None:
+    """Durable ops record of an audit rejection — the discarded snapshot
+    leaves no trace in the table, but an operator paging through a stopped
+    ingest needs the why on disk (``{table}/audits/e{epoch}.json``; the
+    ``show`` CLI surfaces the count). Deterministic name: a re-rejected
+    epoch overwrites its own record; an epoch that later passes keeps the
+    record as history of the rejection event."""
+    import json as _json
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    d = os.path.join(table_path, "audits")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".e{epoch:010d}.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"epoch": epoch, "reason": reason, "rejected_ts": _time.time()}, f)
+    os.replace(tmp, os.path.join(d, f"e{epoch:010d}.json"))
 
 
 def _snapshot_row_count(table, snap) -> int:

@@ -126,11 +126,19 @@ def stream_ingest(
                 after = _snapshot_row_count(table, staged_snap)
                 if before > 0 and after < before * (1.0 - audit_max_shrink):
                     table.discard_staged()
-                    raise RuntimeError(
+                    from read_comp_data_pipeline_spark.streaming.ingest import (
+                        _record_audit_rejection,
+                    )
+
+                    reason = (
                         f"audit rejected streaming batch {batch_id}: staged "
                         f"row count shrank {before} -> {after} (more than "
                         f"{audit_max_shrink:.0%} of the table)"
                     )
+                    _record_audit_rejection(
+                        table_path, int(staged_snap["epoch"]), reason
+                    )
+                    raise RuntimeError(reason)
                 table.publish_staged()
         finally:
             batch_df.unpersist()

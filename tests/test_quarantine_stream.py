@@ -375,6 +375,13 @@ def test_stream_audit_rejects_poison_batch_and_restart_redelivers(spark, tmp_pat
     t = HashMergeTable(spark, tbl)
     assert t.read().count() == 10          # poison batch never visible
     assert t.staged_snapshot() is None     # discarded, not lingering
+    import json as _json
+    import os as _os
+
+    audits = _os.listdir(_os.path.join(tbl, "audits"))
+    assert len(audits) == 1
+    with open(_os.path.join(tbl, "audits", audits[0])) as f:
+        assert "shrank" in _json.load(f)["reason"]
     # restart WITHOUT the guard (the deletes were reviewed as legit):
     # the unadvanced checkpoint re-delivers the rejected batch
     stream_ingest(

@@ -151,6 +151,15 @@ def test_ingest_mass_delete_guard_rejects_and_preserves_state(spark, tmp_path, m
     t = HashMergeTable(spark, tbl)
     assert t.last_epoch == 1 and t.staged_snapshot() is None
     assert t.read().count() == 8  # the poison epoch never became visible
+    # durable ops record: the discarded snapshot leaves no table trace, so
+    # the rejection reason must survive on disk for the operator
+    import json as _json
+    import os as _os
+
+    rec_path = _os.path.join(tbl, "audits", "e0000000002.json")
+    with open(rec_path) as f:
+        rec = _json.load(f)
+    assert rec["epoch"] == 2 and "shrank" in rec["reason"]
     # after review the deletes are deemed legit: re-run without the guard —
     # the rejected epoch number re-applies and the replay converges
     st2 = run_ingest(spark, wal, tbl, n_buckets=2, mode=mode)
