@@ -229,8 +229,12 @@ def tokens_expr(text_col: str = "text"):
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """(id, shingle) — distinct n-gram word shingles per document.
 
-    Shingling is a per-row array transform (no shuffle); the distinct is a
-    local explode + aggregate keyed by (id, shingle).
+    ZERO-SHUFFLE: ``array_distinct`` dedupes within the row before the
+    explode, so (id, shingle) is already unique — no global distinct runs
+    (a corpus-wide shuffle that used to sit here, contradicting the
+    broadcast-consumer scale shape in contamination.py). Precondition:
+    ``id_col`` uniquely identifies a document (one row per id), the same
+    contract every consumer already assumes.
     """
     toks = tokens_expr(text_col)
     # guarded like duplicate_ngram_spans: Generate-inferred filters may
@@ -247,7 +251,6 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
         df.where(F.size(toks) >= n)  # <n-token docs yield no shingles
         .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 

@@ -81,9 +81,17 @@ def apply_changes_to_agg(
     d = delta.select(
         *group_cols, *[F.col(c).alias(f"_d_{c}") for c in val_cols]
     )
-    merged = state.join(d, on=group_cols, how="full_outer")
+    # NULL-SAFE group-key join: groupBy treats NULL as one group, so a
+    # plain equi-join (NULL != NULL) would split a touched NULL-keyed
+    # group into two rows instead of folding it — eqNullSafe keeps the
+    # fold's semantics aligned with the aggregation's
+    cond = None
+    for g in group_cols:
+        c = state[g].eqNullSafe(d[g])
+        cond = c if cond is None else cond & c
+    merged = state.join(d, on=cond, how="full_outer")
     out = merged.select(
-        *group_cols,
+        *[F.coalesce(state[g], d[g]).alias(g) for g in group_cols],
         *[
             (
                 F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
@@ -116,19 +124,33 @@ def sync_agg_view(
     * a kill-and-resume catches up from the view's watermark — the
       changelog window is ``source.snapshot_at_epoch(view.last_epoch) →
       current``, so catch-up work ∝ changes missed, not table size;
-    * if the watermark snapshot was vacuumed away, the sync falls back to
-      a full recompute of the view (documented; the view commit is still
-      atomic).
+    * if the watermark snapshot was vacuumed away — or the retained
+      snapshot at the watermark epoch is not EXACTLY the watermark (a
+      tagged older snapshot, or a rollback that rewound the source's
+      timeline) — the sync falls back to a full recompute of the view
+      (folding from the wrong base would silently double-apply changes).
 
     Per sync, only groups the changelog TOUCHED are merged (upserts for
     live groups, deletes for groups whose count reached zero); untouched
     groups are never rewritten. Returns the view table.
+
+    Caveats (loud, not silent): group keys must be non-NULL in the view
+    (the MERGE table's key contract) — a NULL-keyed group raises with
+    guidance to coalesce the group column at the source. A source
+    ROLLBACK that rewrites epochs at or below the view's watermark with
+    DIFFERENT data is undetectable once the replay passes the watermark
+    again — drop and resync the view after such a recovery.
     """
     from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
     sum_cols = sum_cols or {}
     val_cols = [count_alias, *sum_cols.values()]
-    src_epoch = source.last_epoch
+    # pin ONE source snapshot for the whole sync: epoch watermark, window
+    # end, and any full read all come from it — reading "current" twice
+    # would race a concurrent source commit (the view would record epoch
+    # N while folding an N+1 window, double-applying N+1 next sync)
+    src_snap = source._snapshot()
+    src_epoch = int(src_snap["epoch"])
     src_schema = {f.name: f for f in source.schema.fields}
     view_schema = T.StructType(
         [
@@ -150,35 +172,49 @@ def sync_agg_view(
         return view  # already current (idempotent re-sync)
 
     def direct_agg(df: DataFrame) -> DataFrame:
+        # coalesce to 0 so the bootstrap/fallback path agrees with the
+        # incremental delta algebra on all-NULL groups (sum(NULLs) = NULL
+        # would make the view's content depend on which path ran)
         aggs = [F.count("*").cast("long").alias(count_alias)]
         for src_c, alias in sum_cols.items():
-            aggs.append(F.sum(src_c).cast("long").alias(alias))
+            aggs.append(
+                F.sum(F.coalesce(F.col(src_c), F.lit(0))).cast("long").alias(alias)
+            )
         return df.groupBy(*group_cols).agg(*aggs)
 
     if view.last_epoch < 0:
         # first sync: bootstrap from a direct aggregation (the one full
         # scan the incremental path then never repeats)
-        new_rows = direct_agg(source.read())
+        new_rows = direct_agg(source.read(at_snapshot=src_snap))
         touched = new_rows.select(*group_cols)
         dead = touched.limit(0)
     else:
+        snap_a = None
         try:
-            snap_a = source.snapshot_at_epoch(view.last_epoch)
+            cand = source.snapshot_at_epoch(view.last_epoch)
+            # snapshot_at_epoch returns the latest retained snapshot with
+            # epoch <= watermark; a retained TAGGED snapshot (or a
+            # rollback-rewound one) OLDER than the watermark is the wrong
+            # fold base — folding from it double-applies every change the
+            # view already reflects. Exact match or full recompute.
+            if int(cand.get("epoch", -1)) == int(view.last_epoch):
+                snap_a = cand
         except ValueError:
-            # watermark snapshot expired (vacuum) → full recompute
-            new_state = direct_agg(source.read())
+            pass  # watermark snapshot expired (vacuum)
+        if snap_a is None:
+            new_state = direct_agg(source.read(at_snapshot=src_snap))
             old = view.read().select(*group_cols)
             dead = old.join(new_state.select(*group_cols), group_cols, "left_anti")
             new_rows, touched = new_state, new_state.select(*group_cols)
         else:
-            changes = source.changes_between(snap_a)
+            changes = source.changes_between(snap_a, src_snap)
             state = view.read().select(*group_cols, *val_cols)
             new_state = apply_changes_to_agg(
                 state, changes, group_cols, sum_cols, count_alias
             )
-            touched = changes_to_agg_delta(
-                changes, group_cols, sum_cols, count_alias
-            ).select(*group_cols)
+            # touched = the distinct group keys the window mentions — a
+            # projection, not a second full aggregation of the feed
+            touched = changes.select(*group_cols).distinct()
             new_rows = new_state.join(touched, group_cols, "left_semi")
             dead = touched.join(new_state.select(*group_cols), group_cols, "left_anti")
 
@@ -189,5 +225,19 @@ def sync_agg_view(
             F.lit("D").alias("op"),
         )
     ).withColumn("seq", F.lit(src_epoch).cast("long"))
+    # the view is a MERGE table keyed by the group columns, and the MERGE
+    # key contract is non-NULL keys (a NULL key never equi-matches itself
+    # → duplicate rows on every sync). Loud-over-wrong on a group-sized
+    # relation: one cheap probe, actionable message.
+    any_null = None
+    for g in group_cols:
+        c = F.col(g).isNull()
+        any_null = c if any_null is None else any_null | c
+    if src.where(any_null).limit(1).count() > 0:
+        raise ValueError(
+            f"NULL group key in {group_cols}: the view's MERGE keys must be "
+            "non-NULL — coalesce the group column at the source (e.g. "
+            "COALESCE(lang, 'und')) before syncing"
+        )
     view.merge(src, epoch=src_epoch)
     return view

@@ -56,9 +56,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    # integral `div`, not floor(double): Spark's `/` on longs produces a
+    # double, which loses exactness past 2^53 running tokens — the DuckDB
+    # oracle's bigint `//` never does, so the arithmetic must match it
     return (
         out.withColumn("_prev", prev)
-        .withColumn("pack_id", F.floor(F.col("_prev") / budget).cast("long"))
+        .withColumn("pack_id", F.expr(f"_prev div {int(budget)}").cast("long"))
         .withColumn("pack_offset", F.pmod(F.col("_prev"), F.lit(budget)).cast("long"))
         .drop("_prev")
     )

@@ -216,3 +216,87 @@ def test_delta_is_map_side_combinable(spark, tmp_path):
     # the only Sort allowed is the upstream changelog full-outer SMJ's own
     assert "partial_sum" in plan and "HashAggregate" in plan
     assert "Window" not in plan
+
+
+_NULLABLE = T.StructType(
+    [T.StructField(f.name, f.dataType, True) for f in SCHEMA.fields]
+    + [T.StructField("op", T.StringType(), True)]
+)
+
+
+def _src_nullable(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows], _NULLABLE)
+
+
+def test_null_group_key_folds_as_one_group(spark, tmp_path):
+    """groupBy treats NULL as one group; the fold's full-outer join must
+    too (eqNullSafe) — a plain equi-join would split the touched NULL
+    group into two rows / spuriously delete it."""
+    t = HashMergeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField(f.name, f.dataType, True) for f in SCHEMA.fields]),
+        n_buckets=2,
+    )
+    t.merge(
+        _src_nullable(spark, [(None, "a", "x", 10, 0, "I"), ("r1", "b", "y", 5, 1, "I")]),
+        epoch=0, src_seq_lo=0, src_seq_hi=1,
+    )
+    snap0 = t._snapshot()
+    t.merge(
+        _src_nullable(spark, [(None, "c", "z", 7, 2, "I")]),
+        epoch=1, src_seq_lo=2, src_seq_hi=2,
+    )
+    state0 = _agg(t.read(at_snapshot=snap0))
+    folded = apply_changes_to_agg(
+        state0, t.changes_between(snap0), ["repo"], {"n_tokens": "sum_tokens"}
+    )
+    direct = _agg(t.read())
+    assert _rows(folded) == _rows(direct)
+    null_rows = [r for r in folded.collect() if r["repo"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n_rows"] == 2
+
+
+def test_sync_falls_back_when_watermark_snapshot_is_not_exact(spark, tmp_path):
+    """A retained TAGGED snapshot OLDER than the view's watermark must not
+    be used as the fold base (it would double-apply every change the view
+    already reflects) — the sync detects the epoch mismatch and recomputes."""
+    from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
+
+    t = _build(spark, str(tmp_path / "t"))
+    # tag the EPOCH-0 snapshot so vacuum retains it, then let vacuum
+    # expire the later intermediates
+    t.set_tag("old", version=t.snapshot_at_epoch(0)["version"])
+    view = sync_agg_view(
+        spark, t, str(tmp_path / "v"), ["repo"], {"n_tokens": "sum_tokens"}
+    )
+    t.merge(
+        _src(spark, [("r1", "zz", "q", 100, 90, "I")]),
+        epoch=t.last_epoch + 1, src_seq_lo=90, src_seq_hi=90,
+    )
+    t.vacuum(keep_snapshots=1)  # view's watermark snapshot expires; tag stays
+    # snapshot_at_epoch(view.last_epoch) now resolves the TAGGED epoch-0
+    # snapshot — folding from it would double-apply epochs 1..watermark
+    view = sync_agg_view(
+        spark, t, str(tmp_path / "v"), ["repo"], {"n_tokens": "sum_tokens"}
+    )
+    assert _rows(view.read().select("repo", "n_rows", "sum_tokens")) == _rows(
+        _agg(t.read())
+    )
+
+
+def test_sync_rejects_null_group_keys_loudly(spark, tmp_path):
+    import pytest
+
+    from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
+
+    t = HashMergeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField(f.name, f.dataType, True) for f in SCHEMA.fields]),
+        n_buckets=2,
+    )
+    t.merge(
+        _src_nullable(spark, [(None, "a", "x", 10, 0, "I")]),
+        epoch=0, src_seq_lo=0, src_seq_hi=0,
+    )
+    with pytest.raises(ValueError, match="NULL group key"):
+        sync_agg_view(spark, t, str(tmp_path / "v"), ["repo"], {"n_tokens": "sum_tokens"})
