@@ -35,6 +35,8 @@ Commands:
   rollback  — make an earlier retained snapshot the current state (new
               snapshot commit; recover-and-replay: re-ingesting the WAL
               re-applies every epoch above the rolled-back watermark)
+  alter     — metadata-only column rename / drop (Iceberg-style field IDs:
+              no data file is rewritten; old files read through the ID map)
   sort-order — declare the table sort order (metadata-only commit);
               subsequent rewrites cluster rows within buckets so parquet
               row-group zone maps prune value predicates
@@ -116,6 +118,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True,
                    help="new bucket count (partition-spec evolution)")
+
+    p = sub.add_parser("alter")
+    p.add_argument("--table", required=True)
+    p.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"), default=None,
+                   help="metadata-only column rename (field ID unchanged; "
+                        "no data files rewritten)")
+    p.add_argument("--drop", metavar="COLUMN", default=None,
+                   help="metadata-only column drop (readers stop projecting "
+                        "the field ID; rewrites shed the bytes over time)")
 
     p = sub.add_parser("sort-order")
     p.add_argument("--table", required=True)
@@ -274,6 +285,16 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).rebucket(args.buckets)))
+    elif args.cmd == "alter":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        if args.rename is not None:
+            print(json.dumps(t.rename_column(args.rename[0], args.rename[1])))
+        elif args.drop is not None:
+            print(json.dumps(t.drop_column(args.drop)))
+        else:
+            raise SystemExit("alter: pass --rename OLD NEW or --drop COLUMN")
     elif args.cmd == "sort-order":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -106,7 +106,10 @@ def _align(df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()) -> D
     (``keep`` columns ride along untouched, e.g. a precomputed ``_b``).
 
     This is what makes add-column and type-widening evolution metadata-only:
-    files written under an old schema are aligned at scan time.
+    files written under an old schema are aligned at scan time. Used for
+    INCOMING sources (which speak current column names); committed data
+    files align by field ID instead (:func:`_align_by_id`) so rename and
+    drop/re-add are also metadata-only.
     """
     cols = []
     have = {f.name for f in df.schema.fields}
@@ -115,6 +118,61 @@ def _align(df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()) -> D
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols.extend(F.col(k) for k in keep if k in have)
+    return df.select(*cols)
+
+
+def _snap_field_ids(snap: dict[str, Any]) -> tuple[list[list[int]], int]:
+    """Per-schema-generation field IDs, Iceberg-style: every column is
+    tracked by a stable integer ID, so RENAME is a metadata-only commit
+    (the ID is unchanged; old files read through the mapping) and a column
+    dropped then re-added under the same name gets a NEW ID (pre-drop
+    values never resurface — Iceberg's drop/re-add correctness rule).
+
+    Returns ``(ids, next_id)`` where ``ids[sid]`` parallels
+    ``snap["schemas"][sid].fields``. Legacy snapshots (written before this
+    layer) synthesize name-stable IDs, which reproduces the old
+    name-matched alignment exactly; every schema-mutating commit
+    materializes the result into the snapshot.
+    """
+    if "field_ids" in snap:
+        return [list(r) for r in snap["field_ids"]], int(snap["next_field_id"])
+    name_to_id: dict[str, int] = {}
+    ids: list[list[int]] = []
+    for sch in snap["schemas"]:
+        row = []
+        for f in sch["fields"]:
+            if f["name"] not in name_to_id:
+                name_to_id[f["name"]] = len(name_to_id) + 1
+            row.append(name_to_id[f["name"]])
+        ids.append(row)
+    return ids, len(name_to_id) + 1
+
+
+def _align_by_id(
+    df: DataFrame,
+    written: T.StructType,
+    written_ids: list[int],
+    cur: T.StructType,
+    cur_ids: list[int],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Project a scan of files written under schema generation ``written``
+    onto the current schema by FIELD ID: each current field reads from
+    whichever written column carries the same ID (cast covers widening),
+    or null when that ID was absent at write time (column added later, or
+    re-added after a drop). Columns whose ID was since dropped are simply
+    not projected. ``keep`` columns (e.g. the sidecar ``op``) map by name.
+    """
+    by_id = {i: f for i, f in zip(written_ids, written.fields)}
+    cols = []
+    for i, f in zip(cur_ids, cur.fields):
+        src = by_id.get(i)
+        if src is not None:
+            cols.append(F.col(src.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    have = {f.name for f in df.schema.fields}
     cols.extend(F.col(k) for k in keep if k in have)
     return df.select(*cols)
 
@@ -265,11 +323,16 @@ class HashMergeTable:
             by_schema.setdefault(e["schema_id"], []).append(os.path.join(self.path, e["dir"]))
         if not by_schema:
             return self.spark.createDataFrame([], cur_schema)
+        ids, _ = _snap_field_ids(snap)
+        cur_ids = ids[snap["current_schema_id"]]
         parts = []
         for sid, dirs in sorted(by_schema.items()):
             written = T.StructType.fromJson(snap["schemas"][sid])
             parts.append(
-                _align(self.spark.read.schema(written).parquet(*_globs(dirs)), cur_schema)
+                _align_by_id(
+                    self.spark.read.schema(written).parquet(*_globs(dirs)),
+                    written, ids[sid], cur_schema, cur_ids,
+                )
             )
         out = parts[0]
         for p in parts[1:]:
@@ -296,12 +359,16 @@ class HashMergeTable:
                     by_schema.setdefault(d["schema_id"], []).append(p)
         if not by_schema:
             return None
+        ids, _ = _snap_field_ids(snap)
+        cur_ids = ids[snap["current_schema_id"]]
         out = None
-        with_op = T.StructType(list(cur_schema.fields) + [T.StructField("op", T.StringType(), True)])
         for sid, dirs in sorted(by_schema.items()):
             written = T.StructType.fromJson(snap["schemas"][sid])
             written_op = T.StructType(list(written.fields) + [T.StructField("op", T.StringType(), True)])
-            part = _align(self.spark.read.schema(written_op).parquet(*_globs(dirs)), with_op)
+            part = _align_by_id(
+                self.spark.read.schema(written_op).parquet(*_globs(dirs)),
+                written, ids[sid], cur_schema, cur_ids, keep=("op",),
+            )
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -394,9 +461,23 @@ class HashMergeTable:
             return self.spark.createDataFrame([], change_t).select(
                 F.col("row.*"), "_change_type"
             )
-        # old snapshot rows aligned to the CURRENT schema so evolution
-        # between the snapshots diffs as added-column updates, not errors
-        before = _align(self.read(buckets=buckets, at_snapshot=snap_a), cur)
+        # old snapshot rows aligned to the CURRENT schema BY FIELD ID so
+        # evolution between the snapshots diffs as added-column updates
+        # (and a rename diffs as no change at all), not errors. The schemas
+        # list is append-only, so snap_a's current generation is the same
+        # index inside snap_b's history. A stale snap_a from an abandoned
+        # (rolled-back) timeline breaks that invariant — fall back to
+        # name-matched alignment rather than mis-mapping IDs.
+        ids_b, _ = _snap_field_ids(snap_b)
+        a_sid = int(snap_a["current_schema_id"])
+        a_cur = T.StructType.fromJson(snap_a["schemas"][a_sid])
+        if a_sid < len(snap_b["schemas"]) and snap_b["schemas"][a_sid] == snap_a["schemas"][a_sid]:
+            before = _align_by_id(
+                self.read(buckets=buckets, at_snapshot=snap_a),
+                a_cur, ids_b[a_sid], cur, ids_b[snap_b["current_schema_id"]],
+            )
+        else:
+            before = _align(self.read(buckets=buckets, at_snapshot=snap_a), cur)
         after = _align(self.read(buckets=buckets, at_snapshot=snap_b), cur)
         names = [f.name for f in cur.fields]
         b = before.select(*keys, F.struct(*names).alias("_b_row"))
@@ -436,11 +517,116 @@ class HashMergeTable:
         if cur.json() == new_schema.json():
             return False
         _check_compatible_evolution(cur, new_schema)
+        ids, next_id = _snap_field_ids(snap)
+        cur_by_name = {f.name: i for f, i in zip(cur.fields, ids[snap["current_schema_id"]])}
+        new_ids = []
+        for f in new_schema.fields:
+            if f.name in cur_by_name:  # retained (possibly widened): same ID
+                new_ids.append(cur_by_name[f.name])
+            else:  # added column: fresh ID (a re-added dropped name is NEW)
+                new_ids.append(next_id)
+                next_id += 1
         snap["schemas"].append(json.loads(new_schema.json()))
+        ids.append(new_ids)
+        snap["field_ids"], snap["next_field_id"] = ids, next_id
         snap["current_schema_id"] = len(snap["schemas"]) - 1
         snap["version"] += 1
         self._commit_snapshot(snap)
         return True
+
+    def _constraints_referencing(self, snap: dict, col: str) -> list[str]:
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        return [n for n, e in (snap.get("constraints") or {}).items() if pat.search(e)]
+
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """Iceberg-style METADATA-ONLY rename: the column keeps its field
+        ID, so no data file is rewritten — files from every prior schema
+        generation read through the ID mapping under the new name, and
+        time travel / ``changes_between`` across the rename stay exact.
+
+        ``key_cols`` / ``order_col`` / ``sort_order`` references follow the
+        rename automatically (subsequent MERGE sources must speak the new
+        name — they align by name, like any DDL rename breaks an out-of-
+        date writer). A CHECK constraint referencing the column must be
+        dropped first: constraint exprs are opaque SQL, and silently
+        rewriting them is how engines corrupt expectations.
+        """
+        self._check_staging_clear(-1, False)
+        snap = self._snapshot()
+        cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        names = [f.name for f in cur.fields]
+        if old not in names:
+            raise KeyError(f"no column named {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in ("op", "_b") or not str(new).isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+        refs = self._constraints_referencing(snap, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by constraint(s) {refs}; "
+                "drop them first, then re-declare against the new name"
+            )
+        ids, next_id = _snap_field_ids(snap)
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in cur.fields
+            ]
+        )
+        snap["schemas"].append(json.loads(new_schema.json()))
+        ids.append(list(ids[snap["current_schema_id"]]))  # same IDs: rename only
+        snap["field_ids"], snap["next_field_id"] = ids, next_id
+        snap["current_schema_id"] = len(snap["schemas"]) - 1
+        snap["key_cols"] = [new if c == old else c for c in snap["key_cols"]]
+        if snap.get("order_col") == old:
+            snap["order_col"] = new
+        snap["sort_order"] = [new if c == old else c for c in snap.get("sort_order") or []]
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {"renamed": {old: new}, "version": snap["version"]}
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """METADATA-ONLY column drop: data files keep the bytes (rewrites —
+        compaction, rebucket, COW epochs — shed them over time); readers
+        stop projecting the field ID immediately. Re-adding the same name
+        later allocates a NEW field ID, so pre-drop values never resurface.
+
+        Structural references block the drop (key/order/sort-order columns,
+        CHECK constraints) — remove those first.
+        """
+        self._check_staging_clear(-1, False)
+        snap = self._snapshot()
+        cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+        names = [f.name for f in cur.fields]
+        if name not in names:
+            raise KeyError(f"no column named {name!r}")
+        if name in snap["key_cols"]:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if snap.get("order_col") == name:
+            raise ValueError(f"cannot drop order column {name!r}")
+        if name in (snap.get("sort_order") or []):
+            raise ValueError(
+                f"column {name!r} is in the table sort order; clear it first "
+                "(set_sort_order)"
+            )
+        refs = self._constraints_referencing(snap, name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by constraint(s) {refs}; drop them first"
+            )
+        ids, next_id = _snap_field_ids(snap)
+        cur_ids = ids[snap["current_schema_id"]]
+        keep = [(f, i) for f, i in zip(cur.fields, cur_ids) if f.name != name]
+        snap["schemas"].append(json.loads(T.StructType([f for f, _ in keep]).json()))
+        ids.append([i for _, i in keep])
+        snap["field_ids"], snap["next_field_id"] = ids, next_id
+        snap["current_schema_id"] = len(snap["schemas"]) - 1
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {"dropped": name, "version": snap["version"]}
 
     # -- the MERGE -------------------------------------------------------------
 
