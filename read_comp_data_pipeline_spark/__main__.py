@@ -132,6 +132,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--by", nargs="*", default=[],
                    help="sort columns (empty clears the declared order)")
+    p.add_argument("--zorder", action="store_true",
+                   help="multi-dimensional (Morton-interleaved) clustering "
+                        "instead of a linear sort: zone maps stay tight on "
+                        "every sort column, not just the leading one")
+    p.add_argument("--bits", type=int, default=6,
+                   help="z-order bucket resolution per column (2^bits "
+                        "equi-depth buckets, sampled at declaration time)")
 
     p = sub.add_parser("constraint")
     p.add_argument("--table", required=True)
@@ -298,7 +305,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sort-order":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
-        print(json.dumps(HashMergeTable(spark, args.table).set_sort_order(args.by)))
+        print(json.dumps(HashMergeTable(spark, args.table).set_sort_order(
+            args.by, zorder=args.zorder, bits=args.bits,
+        )))
     elif args.cmd == "constraint":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
@@ -482,6 +491,8 @@ def main(argv: list[str] | None = None) -> int:
             "schema": [f.name for f in t.schema.fields],
             "mode": snap.get("mode", "cow"),
             "sort_order": snap.get("sort_order") or [],
+            **({"sort_strategy": snap["sort_strategy"]}
+               if snap.get("sort_order") and snap.get("sort_strategy") else {}),
             "constraints": snap.get("constraints") or {},
             "tags": t.tags(),
             **({"staged_epoch": int(staged["epoch"])} if staged else {}),

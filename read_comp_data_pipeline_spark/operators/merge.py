@@ -101,6 +101,57 @@ def _globs(dirs: list[str]) -> list[str]:
     return [os.path.join(d, "*.parquet") for d in dirs]
 
 
+def _zorder_norm(col: str, dtype: T.DataType):
+    """Order-preserving map of a sortable column onto a LONG/DOUBLE so it
+    can be quantile-bucketized for z-ordering. Integrals/floats cast
+    directly; strings map to the big-endian long of their first 7 UTF-8
+    bytes (preserves lexicographic order at 56-bit prefix granularity —
+    ties land in the same z-bucket, which only costs clustering sharpness,
+    never correctness). Returns None for unsupported types."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.col(col).cast("long")
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.col(col).cast("double")
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    if isinstance(dtype, T.DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
+    if isinstance(dtype, T.StringType):
+        # 14 hex chars = 7 bytes = 56 bits: fits a signed long, no overflow
+        padded = F.rpad(F.hex(F.encode(F.col(col), "utf-8")), 14, "0")
+        return F.conv(F.substring(padded, 1, 14), 16, 10).cast("long")
+    return None
+
+
+def _zorder_key(norms, cuts: list[list[float]], bits: int):
+    """Interleaved-bit (Morton) key over per-column equi-depth bucket ids.
+
+    Each column's normalized value is ranked against its stored cut points
+    (``size(filter(cuts, c <= v))`` — a literal-array scan, JVM-side, no
+    join) giving a ``bits``-bit bucket id; the ids' bits are interleaved
+    so sorting by the key clusters rows that are close in EVERY sort
+    dimension. Zone maps on each data file's row groups then stay tight on
+    ALL the columns at once, where a linear sort is tight only on the
+    leading one. NULL normalized values rank 0 (sort first)."""
+    k = len(norms)
+
+    def _le(norm):  # one-arg lambda: F.filter treats a 2-arg one as (elem, idx)
+        return lambda c: c <= norm
+
+    buckets = []
+    for norm, col_cuts in zip(norms, cuts):
+        arr = F.array(*[F.lit(c) for c in col_cuts])
+        buckets.append(F.size(F.filter(arr, _le(norm))).cast("long"))
+    parts = []
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            parts.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
 def _align(df: DataFrame, schema: T.StructType, keep: tuple[str, ...] = ()) -> DataFrame:
     """Project df onto ``schema``: cast matching columns, null-fill missing
     (``keep`` columns ride along untouched, e.g. a precomputed ``_b``).
@@ -876,7 +927,17 @@ class HashMergeTable:
         """
         shuffled = merged.repartition(n_parts, F.col("_b"))
         sort_order = snap.get("sort_order") or []
-        if sort_order:
+        if sort_order and snap.get("sort_strategy") == "zorder":
+            cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
+            fields = {f.name: f for f in cur.fields}
+            norms = [_zorder_norm(c, fields[c].dataType) for c in sort_order]
+            zk = _zorder_key(norms, snap["sort_cuts"], int(snap["sort_bits"]))
+            shuffled = (
+                shuffled.withColumn("_zk", zk)
+                .sortWithinPartitions("_b", "_zk")
+                .drop("_zk")
+            )
+        elif sort_order:
             shuffled = shuffled.sortWithinPartitions("_b", *sort_order)
         writer = shuffled.write.mode("overwrite")
         for k, v in (snap.get("write_options") or {}).items():
@@ -928,24 +989,72 @@ class HashMergeTable:
         self._commit_snapshot(snap)
         return {"constraints": cons}
 
-    def set_sort_order(self, sort_order: list[str] | None) -> dict[str, Any]:
+    def set_sort_order(
+        self, sort_order: list[str] | None, zorder: bool = False, bits: int = 6,
+    ) -> dict[str, Any]:
         """Declare (or clear) the table sort order — a METADATA-ONLY commit,
         like schema evolution: existing files keep their layout; every
         subsequent rewrite (COW epoch, compaction, rebucket) emits files
         sorted by these columns. Run :meth:`compact_table` (mor) or
         :meth:`rebucket` (same bucket count is rejected — use any rewrite)
-        to re-cluster history immediately."""
+        to re-cluster history immediately.
+
+        ``zorder=True`` declares MULTI-DIMENSIONAL clustering instead of a
+        linear sort: rewrites order rows by an interleaved-bit (Morton) key
+        over per-column equi-depth buckets, so row-group zone maps stay
+        tight on EVERY sort column — predicates on the second or third
+        column skip row groups too, where a linear sort only serves the
+        leading column. The ``2^bits - 1`` cut points per column are
+        sampled from the CURRENT table state by one sketch aggregate here
+        at declaration time and stored in the snapshot, so the per-epoch
+        rewrite hot path pays zero extra jobs; distribution drift degrades
+        clustering sharpness, never correctness — re-run this to refresh.
+        Requires a non-empty table (there is nothing to sample cuts from)
+        and sortable column types (numeric / string / timestamp / date).
+        """
         self._check_staging_clear(-1, False)
         snap = self._snapshot()
         cur = T.StructType.fromJson(snap["schemas"][snap["current_schema_id"]])
-        have = {f.name for f in cur.fields}
+        fields = {f.name: f for f in cur.fields}
         for c in sort_order or []:
-            if c not in have:
+            if c not in fields:
                 raise ValueError(f"sort_order column {c!r} not in table schema")
         snap["sort_order"] = list(sort_order) if sort_order else []
+        if zorder and snap["sort_order"]:
+            if not (1 <= bits and bits * len(snap["sort_order"]) <= 60):
+                raise ValueError(f"bits * n_columns must fit a long, got {bits}")
+            norms = []
+            for c in snap["sort_order"]:
+                norm = _zorder_norm(c, fields[c].dataType)
+                if norm is None:
+                    raise ValueError(
+                        f"z-order unsupported for column {c!r} of type "
+                        f"{fields[c].dataType.simpleString()}"
+                    )
+                norms.append(norm)
+            probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+            row = self.read().agg(
+                *[
+                    F.percentile_approx(n, F.lit(probs), F.lit(10_000)).alias(f"c{i}")
+                    for i, n in enumerate(norms)
+                ]
+            ).first()
+            cuts = [row[f"c{i}"] for i in range(len(norms))]
+            if any(c is None for c in cuts):
+                raise ValueError(
+                    "z-order needs rows to sample cut points from — load data "
+                    "first (or a sort column is entirely NULL)"
+                )
+            snap["sort_strategy"] = "zorder"
+            snap["sort_bits"] = int(bits)
+            snap["sort_cuts"] = [list(c) for c in cuts]
+        else:
+            snap["sort_strategy"] = "linear"
+            snap.pop("sort_cuts", None)
+            snap.pop("sort_bits", None)
         snap["version"] += 1
         self._commit_snapshot(snap)
-        return {"sort_order": snap["sort_order"]}
+        return {"sort_order": snap["sort_order"], "strategy": snap["sort_strategy"]}
 
     def _cow_plan(
         self,
