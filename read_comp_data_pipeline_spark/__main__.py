@@ -35,6 +35,9 @@ Commands:
   rollback  — make an earlier retained snapshot the current state (new
               snapshot commit; recover-and-replay: re-ingesting the WAL
               re-applies every epoch above the rolled-back watermark)
+  inspect   — metadata tables (files / partitions / snapshots / schemas):
+              per-file rows/bytes/row-groups, per-bucket totals, retained
+              snapshot history, field-ID schema generations — no data scan
   alter     — metadata-only column rename / drop (Iceberg-style field IDs:
               no data file is rewritten; old files read through the ID map)
   sort-order — declare the table sort order (metadata-only commit);
@@ -113,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    p = sub.add_parser("inspect")
+    p.add_argument("--table", required=True)
+    p.add_argument("--what", required=True,
+                   choices=("files", "partitions", "snapshots", "schemas"),
+                   help="metadata table to render (Iceberg files/partitions/"
+                        "snapshots/schemas analogue; no data rows scanned)")
 
     p = sub.add_parser("rebucket")
     p.add_argument("--table", required=True)
@@ -292,6 +302,12 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).rebucket(args.buckets)))
+    elif args.cmd == "inspect":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        df = HashMergeTable(spark, args.table).inspect(args.what)
+        print(json.dumps({"inspect": args.what, "rows": df.count()}))
+        df.show(50, truncate=False)
     elif args.cmd == "alter":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -1945,6 +1945,114 @@ class HashMergeTable:
             return self.spark.createDataFrame([], METRICS_SCHEMA)
         return raw
 
+    # -- metadata inspection tables ------------------------------------------
+
+    _FILES_SCHEMA = T.StructType(
+        [
+            T.StructField("content", T.StringType(), False),  # base | delta
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("file", T.StringType(), False),  # table-relative
+            T.StructField("schema_id", T.IntegerType(), False),
+            T.StructField("epoch", T.LongType(), True),  # delta epoch; base: null
+            T.StructField("rows", T.LongType(), False),
+            T.StructField("size_bytes", T.LongType(), False),
+            T.StructField("row_groups", T.IntegerType(), False),
+        ]
+    )
+
+    def inspect(self, kind: str) -> DataFrame:
+        """Iceberg-style metadata tables (``table.files`` / ``.partitions``
+        / ``.snapshots`` / ``.schemas`` analogue) — what an operator reads
+        to answer "is compaction due?", "which bucket is skewed?", "what
+        does time travel retain?" without scanning a single data row.
+
+        ``files`` / ``partitions`` walk only SNAPSHOT-REFERENCED files and
+        read parquet footers — O(#live files) driver-side metadata work,
+        the same cardinality the commit manifest itself holds (orphans
+        awaiting vacuum are deliberately invisible, exactly like Iceberg's
+        files table). ``snapshots`` and ``schemas`` read retained snapshot
+        JSON only.
+        """
+        import pyarrow.parquet as pq
+
+        snap = self._snapshot()
+        if kind in ("files", "partitions"):
+            rows = []
+
+            def _scan(leaf_dir: str, content: str, bucket: int, sid: int, epoch):
+                d = os.path.join(self.path, leaf_dir)
+                if not os.path.isdir(d):
+                    return
+                for n in sorted(os.listdir(d)):
+                    if n.endswith(".parquet"):
+                        p = os.path.join(d, n)
+                        md = pq.ParquetFile(p).metadata
+                        rows.append(
+                            (content, bucket, f"{leaf_dir}/{n}", sid, epoch,
+                             md.num_rows, os.path.getsize(p), md.num_row_groups)
+                        )
+
+            for b, e in sorted(snap["buckets"].items(), key=lambda kv: int(kv[0])):
+                _scan(e["dir"], "base", int(b), int(e["schema_id"]), None)
+            for d_ent in snap.get("deltas", []):
+                base_dir = os.path.join(self.path, d_ent["dir"])
+                if not os.path.isdir(base_dir):
+                    continue
+                for sub in sorted(os.listdir(base_dir)):
+                    if sub.startswith("_b="):
+                        _scan(
+                            f"{d_ent['dir']}/{sub}", "delta", int(sub[3:]),
+                            int(d_ent["schema_id"]), int(d_ent["epoch"]),
+                        )
+            files = self.spark.createDataFrame(rows, self._FILES_SCHEMA)
+            if kind == "files":
+                return files
+            return (
+                files.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_files"),
+                    F.sum("rows").alias("rows"),
+                    F.sum("size_bytes").alias("size_bytes"),
+                    F.sum(F.when(F.col("content") == "delta", 1).otherwise(0))
+                    .cast("int").alias("n_delta_files"),
+                )
+                .orderBy("bucket")
+            )
+        if kind == "snapshots":
+            rows = [
+                (
+                    int(s["version"]), int(s["epoch"]), s.get("mode", "cow"),
+                    int(s["n_buckets"]), int(s["current_schema_id"]),
+                    len(s["schemas"]), len(s.get("buckets") or {}),
+                    len(s.get("deltas") or []), int(s.get("seq_hi", -1)),
+                )
+                for s in self.snapshots()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, epoch long, mode string, n_buckets int, "
+                "current_schema_id int, n_schemas int, n_live_buckets int, "
+                "n_deltas int, seq_hi long",
+            )
+        if kind == "schemas":
+            ids, _ = _snap_field_ids(snap)
+            rows = [
+                (sid, int(fid), f["name"], f["type"] if isinstance(f["type"], str)
+                 else json.dumps(f["type"]), bool(f["nullable"]),
+                 sid == int(snap["current_schema_id"]))
+                for sid, sch in enumerate(snap["schemas"])
+                for fid, f in zip(ids[sid], sch["fields"])
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "schema_id int, field_id int, name string, type string, "
+                "nullable boolean, is_current boolean",
+            )
+        raise ValueError(
+            f"unknown inspect kind {kind!r}; one of: files, partitions, "
+            "snapshots, schemas"
+        )
+
 
 def _check_compatible_evolution(old: T.StructType, new: T.StructType) -> None:
     """Allow add-column and numeric widening; reject drops/narrowing."""
