@@ -112,6 +112,103 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Data-mixture curation: keep each row with its stratum's target rate
+    (down-weight an overrepresented source, up-weight a scarce one) by a
+    deterministic per-row hash-bucket test — Bernoulli in distribution,
+    but reproducible, order-independent, and incremental-ingest-safe (a
+    doc's keep/drop never flips when other docs arrive). Unlisted strata
+    keep at ``default_rate``. ZERO shuffles: a pure filter Catalyst pushes
+    into the scan. Rates are exact to 1/10000."""
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
+    bucket = F.pmod(
+        phash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.lit(_BUCKETS),
+    )
+    thr = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        lit_thr = F.lit(int(round(r * _BUCKETS)))
+        thr = F.when(cond, lit_thr) if thr is None else thr.when(cond, lit_thr)
+    thr = thr.otherwise(F.lit(int(round(default_rate * _BUCKETS))))
+    return df.where(bucket < thr)
+
+
+def mixture_sample_sql(
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> str:
+    """DuckDB WHERE predicate mirroring :func:`mixture_sample`."""
+    h = phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    arms = "".join(
+        f" WHEN {strata_col} = '{name}' THEN {int(round(r * _BUCKETS))}"
+        for name, r in rates.items()
+    )
+    return (
+        f"(({h}) % {_BUCKETS}) < "
+        f"(CASE{arms} ELSE {int(round(default_rate * _BUCKETS))} END)"
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training: every row gets a
+    ``shard`` (zero-shuffle hash projection) and a 1-based ``pos`` inside
+    its shard (reproducible random order: ranked by an independently
+    salted hash, doc id tiebreak). Training readers stream shard files in
+    pos order and see a reproducible global permutation — no engine-side
+    global sort, no RNG state. One shuffle keyed on shard; size
+    ``n_shards`` so a shard's rows fit one task (10^10 docs / 10^4 shards
+    = 10^6 rows per window task)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(id_col).cast("string")
+    shard = F.pmod(phash(F.concat(F.lit(f"{salt}:shard:"), key)), F.lit(n_shards))
+    order = phash(F.concat(F.lit(f"{salt}:ord:"), key))
+    w = Window.partitionBy("shard").orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def corpus_shuffle_sql(
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    table: str = "documents",
+    select_cols: str = "doc_id",
+) -> str:
+    """DuckDB rendering of :func:`corpus_shuffle`."""
+    key = f"CAST({id_col} AS VARCHAR)"
+    shard_h = phash_sql(f"'{salt}:shard:' || {key}")
+    shard = f"(({shard_h}) % {n_shards})"
+    order = phash_sql(f"'{salt}:ord:' || {key}")
+    return f"""
+    SELECT {select_cols}, CAST({shard} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY {shard}
+                                   ORDER BY {order} ASC, {id_col} ASC) AS INT)
+             AS pos
+    FROM {table}
+    """
+
+
 def stratified_sample_sql(
     strata_col: str,
     n_per_stratum: int,

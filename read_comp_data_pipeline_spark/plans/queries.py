@@ -1856,8 +1856,12 @@ def quantile_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from read_comp_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    corpus_shuffle,
+    corpus_shuffle_sql,
     hash_split,
     hash_split_sql,
+    mixture_sample,
+    mixture_sample_sql,
     stratified_sample,
     stratified_sample_sql,
 )
@@ -1889,6 +1893,40 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-exact oracle (same hash, same tiebreak)."""
     d = load(spark, sf_dir, "documents")
     return stratified_sample(d, "lang", 20).select("doc_id", "lang", "sample_rank")
+
+
+_MIX_RATES = {"en": 0.3, "zh": 1.0, "es": 0.8, "de": 0.5, "fr": 0.6}
+
+
+@_q(
+    "mixture_sample_by_lang",
+    f"SELECT doc_id, lang FROM documents WHERE {mixture_sample_sql('lang', _MIX_RATES)}",
+)
+def mixture_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture curation: per-language target keep rates (down-weight
+    the overrepresented language, keep the scarce ones) applied as a
+    deterministic hash-bucket filter — reproducible, order-independent,
+    incremental-ingest-safe, ZERO shuffles (a pushed filter). The standard
+    move for rebalancing a web-scale corpus's source/language mix before
+    training. Value-exact oracle: every keep/drop decision is checked."""
+    d = load(spark, sf_dir, "documents")
+    return mixture_sample(d, "lang", _MIX_RATES).select("doc_id", "lang")
+
+
+@_q(
+    "corpus_shuffle_shards",
+    corpus_shuffle_sql(8, select_cols="doc_id"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training: each doc gets a
+    shard (zero-shuffle hash projection) and a reproducible random
+    position within it (per-shard window ranked by an independently
+    salted hash). Readers streaming shard files in pos order see a
+    reproducible global permutation with no engine-side global sort and
+    no RNG state; shard count bounds the per-task window (10^10 docs /
+    10^4 shards = 10^6 rows per task). Value-exact oracle."""
+    d = load(spark, sf_dir, "documents")
+    return corpus_shuffle(d, 8).select("doc_id", "shard", "pos")
 
 
 @_q(
@@ -2691,6 +2729,11 @@ _BEYOND_GATE = [
                                    # (the replay-then-train integration)
                                    # (both families gated: paragraph_dedup,
                                    # dedup_incremental)
+    "mixture_sample_by_lang",      # sampling family: per-stratum keep rates
+                                   # (train_val_split's hash discipline)
+    "corpus_shuffle_shards",       # sampling family: deterministic global
+                                   # shuffle (stratified_sample's window
+                                   # discipline, shard-keyed)
 ]
 
 assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)

@@ -131,3 +131,70 @@ def test_stratified_sample_hot_stratum_is_window_group_limited(spark, sf_dir):
 
     nodes = set(re.findall(r"\((\d+)\) WindowGroupLimit", plan))
     assert len(nodes) >= 2, plan
+
+
+def test_mixture_sample_rates_order_independent_and_pushed(spark, sf_dir):
+    """Per-stratum keep rates: reproducible under row-order change, keep
+    fraction ≈ the declared rate, zero exchanges (a pushed filter)."""
+    import contextlib
+    import io
+
+    from read_comp_data_pipeline_spark.operators.sampling import mixture_sample
+
+    n = 20_000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.25, "zh": 0.75}
+    kept = mixture_sample(d, "lang", rates)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / (n / 4) - 0.25) < 0.03
+    assert abs(counts["zh"] / (3 * n / 4) - 0.75) < 0.03
+    a = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in mixture_sample(d.orderBy(F.rand(seed=5)), "lang", rates)
+         .select("doc_id").collect()}
+    assert a == b
+    # unlisted strata drop by default; rate bounds enforced
+    d2 = d.withColumn("lang", F.lit("xx"))
+    assert mixture_sample(d2, "lang", rates).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        mixture_sample(d, "lang", {"en": 1.5})
+    # plan: pure filter over the scan — no Exchange
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mixture_sample(load(spark, sf_dir, "documents"), "lang", rates).explain()
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_corpus_shuffle_is_permutation_and_single_shuffle(spark, sf_dir):
+    """Every (shard, pos) pair is unique, pos is dense 1..shard_size,
+    the permutation is order-independent, and the plan has exactly ONE
+    exchange (the shard-keyed window shuffle)."""
+    import contextlib
+    import io
+    import re
+
+    from read_comp_data_pipeline_spark.operators.sampling import corpus_shuffle
+
+    d = load(spark, sf_dir, "documents")
+    out = corpus_shuffle(d, 8).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    assert len({(r["shard"], r["pos"]) for r in rows}) == len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in corpus_shuffle(d.orderBy(F.rand(seed=9)), 8)
+             .select("doc_id", "shard", "pos").collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]  # AQE repeats nodes
+    nodes = set(re.findall(r"Exchange \((\d+)\)", final))
+    assert len(nodes) == 1, buf.getvalue()
