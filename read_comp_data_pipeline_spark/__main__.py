@@ -22,6 +22,9 @@ Commands:
   show      — table summary (row count, last epoch, manifest tail)
   changes   — changelog emission (CDF): net row-level changes between two
               committed epochs (insert/delete/update before+after images)
+  follow    — resumable changelog EXPORT: each run delivers the net
+              changes since the last run as one parquet window (cursor-
+              tracked, exactly-once; work ∝ changes, not table size)
   requeue   — move permanent dead letters back into the pending retry
               stream (run after the upstream fix ships)
   sync-view — keep a derived aggregate table current from the source's
@@ -184,6 +187,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated src:alias sum columns "
                         "(e.g. n_tokens:sum_tokens)")
     p.add_argument("--buckets", type=int, default=4)
+
+    p = sub.add_parser("follow")
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", required=True,
+                   help="feed directory: each run exports the net changes "
+                        "since the last run as one parquet window and "
+                        "advances the cursor (resumable, exactly-once)")
 
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
@@ -387,6 +397,11 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.streaming.ingest import requeue_dead_letters
 
         print(json.dumps(requeue_dead_letters(spark, args.table)))
+    elif args.cmd == "follow":
+        from read_comp_data_pipeline_spark.operators.changefeed import follow_changes
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(follow_changes(spark, HashMergeTable(spark, args.table), args.out)))
     elif args.cmd == "changes":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -1,0 +1,163 @@
+"""Resumable changelog export (follow_changes) — the table as a feed.
+
+Contract pinned here: consecutive windows tile the epoch line with no
+gap or overlap; applying the windows in order reconstructs the table
+exactly; a crash between the window write and the cursor swap retries
+into the SAME window (replace, never duplicate); a vacuumed/rolled-back
+cursor fails loudly instead of re-bootstrapping (double delivery).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from read_comp_data_pipeline_spark.operators.changefeed import (
+    follow_changes,
+    read_cursor,
+    window_dirs,
+)
+from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        T.StructType(list(SCHEMA.fields) + [T.StructField("op", T.StringType(), False)]),
+    )
+
+
+def _replay_windows(spark, out):
+    """Consumer-side reconstruction: apply each window in delivery order
+    (upsert insert/update_after, remove delete)."""
+    state: dict = {}
+    for w in window_dirs(out):
+        for r in spark.read.parquet(w).collect():
+            k = (r["repo"], r["path"])
+            if r["_change_type"] in ("insert", "update_after"):
+                state[k] = (r["content"], r["seq"])
+            elif r["_change_type"] == "delete":
+                state.pop(k, None)
+            # update_before is informational for consumers needing images
+    return state
+
+
+def test_windows_tile_and_reconstruct_exactly(spark, tmp_path):
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=4)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I"), ("r", "b", "b0", 1, "I")]),
+            epoch=0, src_seq_lo=0, src_seq_hi=1)
+    r1 = follow_changes(spark, t, out)
+    assert not r1["noop"] and (r1["from_epoch"], r1["to_epoch"]) == (-1, 0)
+    t.merge(_src(spark, [("r", "a", "a1", 2, "U"), ("r", "c", "c0", 3, "I")]),
+            epoch=1, src_seq_lo=2, src_seq_hi=3)
+    t.merge(_src(spark, [("r", "b", None, 4, "D")]),
+            epoch=2, src_seq_lo=4, src_seq_hi=4)
+    r2 = follow_changes(spark, t, out)
+    assert (r2["from_epoch"], r2["to_epoch"]) == (0, 2)
+    # delivered exactly the net changes of epochs 1-2
+    w2 = spark.read.parquet(r2["window"])
+    got = {(r["repo"], r["path"], r["_change_type"]) for r in w2.collect()}
+    assert got == {
+        ("r", "a", "update_before"), ("r", "a", "update_after"),
+        ("r", "c", "insert"), ("r", "b", "delete"),
+    }
+    assert {r["_from_epoch"] for r in w2.collect()} == {0}
+    # windows tile: no gap/overlap in directory names
+    names = [os.path.basename(w) for w in window_dirs(out)]
+    assert names == ["e0000000000-0000000000", "e0000000001-0000000002"]
+    # consumer replay of all windows == the table
+    state = _replay_windows(spark, out)
+    expect = {
+        (r["repo"], r["path"]): (r["content"], r["seq"]) for r in t.read().collect()
+    }
+    assert state == expect
+
+
+def test_rerun_when_current_is_noop(spark, tmp_path):
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    assert not follow_changes(spark, t, out)["noop"]
+    r = follow_changes(spark, t, out)
+    assert r["noop"] and r["epoch"] == 0
+    assert len(window_dirs(out)) == 1
+
+
+def test_crash_before_cursor_swap_retries_same_window(spark, tmp_path):
+    """Roll the cursor back by hand (≡ crash after the window write,
+    before the swap): the retry overwrites the SAME directory and the
+    feed delivers each change exactly once."""
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    t.merge(_src(spark, [("r", "a", "a1", 1, "U")]), epoch=1)
+    r = follow_changes(spark, t, out)
+    cur_before = read_cursor(out)
+    # simulate the crash: cursor back to epoch 0, window dir already there
+    with open(os.path.join(out, "CURSOR"), "w") as f:
+        json.dump({"epoch": 0, "version": 1, "windows": 1}, f)
+    r2 = follow_changes(spark, t, out)
+    assert r2["window"] == r["window"]
+    assert len(window_dirs(out)) == 2  # replaced, not duplicated
+    assert read_cursor(out)["epoch"] == cur_before["epoch"]
+    state = _replay_windows(spark, out)
+    assert state == {("r", "a"): ("a1", 1)}
+
+
+def test_vacuumed_cursor_fails_loudly(spark, tmp_path):
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    for e in range(1, 5):
+        t.merge(_src(spark, [("r", "a", f"a{e}", e, "U")]), epoch=e)
+    t.vacuum(keep_snapshots=1)  # the epoch-0 snapshot is gone
+    with pytest.raises(ValueError, match="vacuum|expired"):
+        follow_changes(spark, t, out)
+
+
+def test_feed_spans_schema_evolution(spark, tmp_path):
+    """Windows written after an evolution carry the evolved schema; the
+    replay still reconstructs the table (consumers read by name)."""
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("stars", T.LongType(), True)])
+    t.evolve_schema(wide)
+    t.merge(
+        spark.createDataFrame(
+            [("r", "b", "b0", 1, 5, "I")],
+            T.StructType(list(wide.fields) + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch=1,
+    )
+    r = follow_changes(spark, t, out)
+    w = spark.read.parquet(r["window"])
+    assert "stars" in w.columns
+    assert {(x["repo"], x["path"], x["stars"]) for x in w.collect()} == {("r", "b", 5)}
+
+
+def test_follow_cli(spark, tmp_path):
+    from read_comp_data_pipeline_spark.__main__ import main
+
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    assert main(["follow", "--table", tbl, "--out", out]) == 0
+    assert read_cursor(out)["epoch"] == 0
