@@ -25,6 +25,9 @@ Commands:
   follow    — resumable changelog EXPORT: each run delivers the net
               changes since the last run as one parquet window (cursor-
               tracked, exactly-once; work ∝ changes, not table size)
+  replicate — feed CONSUMER: apply a follow feed's unconsumed windows
+              into a replica table (the target's epoch watermark is the
+              cursor — kill/resume-safe, no consumer bookkeeping)
   requeue   — move permanent dead letters back into the pending retry
               stream (run after the upstream fix ships)
   sync-view — keep a derived aggregate table current from the source's
@@ -194,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="feed directory: each run exports the net changes "
                         "since the last run as one parquet window and "
                         "advances the cursor (resumable, exactly-once)")
+
+    p = sub.add_parser("replicate")
+    p.add_argument("--feed", required=True, help="follow feed directory")
+    p.add_argument("--table", required=True, help="replica table path")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--mode", choices=("cow", "mor"), default="mor")
 
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
@@ -402,6 +411,12 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(follow_changes(spark, HashMergeTable(spark, args.table), args.out)))
+    elif args.cmd == "replicate":
+        from read_comp_data_pipeline_spark.operators.changefeed import replicate_feed
+
+        print(json.dumps(replicate_feed(
+            spark, args.feed, args.table, n_buckets=args.buckets, mode=args.mode,
+        )))
     elif args.cmd == "changes":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -67,6 +67,76 @@ def window_dirs(out_path: str) -> list[str]:
     return [os.path.join(wdir, n) for n in sorted(os.listdir(wdir))]
 
 
+def replicate_feed(
+    spark: SparkSession,
+    feed_path: str,
+    target_path: str,
+    n_buckets: int = 16,
+    mode: str = "mor",
+    key_cols: list[str] | None = None,
+) -> dict[str, Any]:
+    """Feed CONSUMER: apply every unconsumed window of a ``follow_changes``
+    feed into a target :class:`HashMergeTable` — CDC-out feeding CDC-in,
+    the full replication loop (read replica, cross-region copy, dev
+    snapshot that trails prod) with work ∝ changes per run.
+
+    Resumable and exactly-once with NO consumer-side bookkeeping: each
+    window commits to the target as epoch ``_to_epoch``, so the target's
+    own epoch watermark IS the cursor — a re-run (or a kill mid-feed)
+    skips already-applied windows through the same idempotent epoch gate
+    the ingest loop uses. Net-change windows map directly onto MERGE ops:
+    insert/update_after → upsert, delete → delete, update_before →
+    dropped (an image for consumers that need it, not an instruction).
+
+    The target evolves its schema from each window before applying it
+    (same transactional order as the ingest loop), so feeds spanning
+    ADD-COLUMN / widening DDL replicate cleanly. A source RENAME is not
+    inferable from row shape alone (the feed would show it as a new
+    column): run the same ``rename_column`` on the replica before
+    applying the post-rename windows.
+    """
+    from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+    from read_comp_data_pipeline_spark.streaming.evolve import evolved_schema
+
+    applied = skipped = rows = 0
+    target = None
+    for w in window_dirs(feed_path):
+        df = spark.read.parquet(w)
+        to_epoch = int(os.path.basename(w).split("-")[1])
+        src = (
+            df.where(F.col("_change_type") != "update_before")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(F.lit("U")),
+            )
+            .drop("_change_type", "_from_epoch", "_to_epoch")
+        )
+        incoming = src.drop("op").schema
+        if target is None:
+            if HashMergeTable.exists(target_path):
+                target = HashMergeTable(spark, target_path)
+            else:
+                target = HashMergeTable.create(
+                    spark, target_path, incoming, n_buckets=n_buckets,
+                    mode=mode, key_cols=key_cols,
+                )
+        if to_epoch <= target.last_epoch:
+            skipped += 1
+            continue
+        new_schema = evolved_schema(target.schema, incoming)
+        if new_schema is not None:
+            target.evolve_schema(new_schema)
+        st = target.merge(src, epoch=to_epoch)
+        applied += 1
+        rows += int(st.get("rows_applied", 0))
+    return {
+        "windows_applied": applied,
+        "windows_skipped": skipped,
+        "rows_applied": rows,
+        "target_epoch": target.last_epoch if target is not None else -1,
+    }
+
+
 def follow_changes(
     spark: SparkSession,
     source,

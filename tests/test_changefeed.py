@@ -161,3 +161,71 @@ def test_follow_cli(spark, tmp_path):
     t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
     assert main(["follow", "--table", tbl, "--out", out]) == 0
     assert read_cursor(out)["epoch"] == 0
+
+
+def _digest(t):
+    return sorted(
+        (r["repo"], r["path"], r["content"], r["seq"]) for r in
+        t.read().select("repo", "path", "content", "seq").collect()
+    )
+
+
+def test_replicate_feed_reconstructs_source(spark, tmp_path):
+    """The full replication loop — follow (CDC-out) feeding replicate
+    (CDC-in): the replica converges to the source exactly, resumes from
+    its own epoch watermark, and a re-run is a no-op."""
+    from read_comp_data_pipeline_spark.operators.changefeed import replicate_feed
+
+    tbl, out, rep = str(tmp_path / "t"), str(tmp_path / "feed"), str(tmp_path / "rep")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=4)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I"), ("r", "b", "b0", 1, "I"),
+                         ("s", "c", "c0", 2, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    r1 = replicate_feed(spark, out, rep, n_buckets=2)
+    assert r1["windows_applied"] == 1 and r1["target_epoch"] == 0
+    t.merge(_src(spark, [("r", "a", "a1", 3, "U"), ("r", "b", None, 4, "D"),
+                         ("s", "d", "d0", 5, "I")]), epoch=1)
+    follow_changes(spark, t, out)
+    r2 = replicate_feed(spark, out, rep, n_buckets=2)
+    assert r2["windows_applied"] == 1 and r2["windows_skipped"] == 1
+    replica = HashMergeTable(spark, rep)
+    assert _digest(replica) == _digest(t)
+    # idempotent re-run: everything already applied
+    r3 = replicate_feed(spark, out, rep)
+    assert r3["windows_applied"] == 0 and r3["windows_skipped"] == 2
+    assert _digest(HashMergeTable(spark, rep)) == _digest(t)
+
+
+def test_replicate_feed_across_evolution(spark, tmp_path):
+    from read_comp_data_pipeline_spark.operators.changefeed import replicate_feed
+
+    tbl, out, rep = str(tmp_path / "t"), str(tmp_path / "feed"), str(tmp_path / "rep")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    wide = T.StructType(list(SCHEMA.fields) + [T.StructField("stars", T.LongType(), True)])
+    t.evolve_schema(wide)
+    t.merge(
+        spark.createDataFrame(
+            [("r", "b", "b0", 1, 7, "I")],
+            T.StructType(list(wide.fields) + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch=1,
+    )
+    follow_changes(spark, t, out)
+    replicate_feed(spark, out, rep, n_buckets=2)
+    replica = HashMergeTable(spark, rep)
+    assert "stars" in [f.name for f in replica.schema.fields]
+    got = {(r["repo"], r["path"], r["stars"]) for r in replica.read().collect()}
+    assert got == {("r", "a", None), ("r", "b", 7)}
+
+
+def test_replicate_cli(spark, tmp_path):
+    from read_comp_data_pipeline_spark.__main__ import main
+
+    tbl, out, rep = str(tmp_path / "t"), str(tmp_path / "feed"), str(tmp_path / "rep")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    assert main(["follow", "--table", tbl, "--out", out]) == 0
+    assert main(["replicate", "--feed", out, "--table", rep, "--buckets", "2"]) == 0
+    assert HashMergeTable(spark, rep).read().count() == 1
