@@ -19,6 +19,8 @@ Commands:
   compact-sidecars — fold per-epoch manifest/metrics files into
                      consolidated segments (generational, crash-safe)
   vacuum    — expire old snapshots + unreferenced files
+  maintain  — one policy-driven pass: compact / fold sidecars / vacuum,
+              each only when its metadata signal says it is due
   show      — table summary (row count, last epoch, manifest tail)
   changes   — changelog emission (CDF): net row-level changes between two
               committed epochs (insert/delete/update before+after images)
@@ -122,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    p = sub.add_parser("maintain")
+    p.add_argument("--table", required=True)
+    p.add_argument("--max-delta-epochs", type=int, default=8,
+                   help="fold MOR deltas when more than this many epochs "
+                        "are un-compacted (read-amplification bound)")
+    p.add_argument("--max-loose-sidecars", type=int, default=64,
+                   help="fold manifest/metrics when loose per-epoch files "
+                        "exceed this (small-files bound)")
+    p.add_argument("--keep-snapshots", type=int, default=25)
 
     p = sub.add_parser("inspect")
     p.add_argument("--table", required=True)
@@ -321,6 +333,14 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).rebucket(args.buckets)))
+    elif args.cmd == "maintain":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).maintain(
+            max_delta_epochs=args.max_delta_epochs,
+            max_loose_sidecars=args.max_loose_sidecars,
+            keep_snapshots=args.keep_snapshots,
+        )))
     elif args.cmd == "inspect":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -1494,6 +1494,63 @@ class HashMergeTable:
 
     # -- write-audit-publish staging ----------------------------------------------
 
+    def maintain(
+        self,
+        max_delta_epochs: int = 8,
+        max_loose_sidecars: int = 64,
+        keep_snapshots: int = 25,
+    ) -> dict[str, Any]:
+        """One POLICY-DRIVEN maintenance pass: run each maintenance move
+        only when its metadata signal says it is due — the standing
+        cron-style table service a 10^5-epoch ingest needs (Iceberg's
+        maintenance procedures behind one decision layer). Idempotent: a
+        second invocation right after finds nothing due.
+
+        * MOR delta fold (``compact_table``) when the snapshot lists more
+          than ``max_delta_epochs`` un-compacted delta epochs — the
+          read-amplification bound;
+        * sidecar folding (``compact_sidecars``) when loose per-epoch
+          manifest/metrics files exceed ``max_loose_sidecars`` — the
+          small-files bound;
+        * snapshot expiry (``vacuum``) when retained snapshots exceed
+          ``keep_snapshots`` — the metadata/storage bound.
+
+        Every DECISION comes from snapshot metadata + a directory listing;
+        no data row is scanned to decide anything. Returns what ran and,
+        for what didn't, the observed level vs its threshold.
+        """
+        snap = self._snapshot()
+        out: dict[str, Any] = {}
+
+        n_deltas = len(snap.get("deltas") or [])
+        if snap.get("mode", "cow") == "mor" and n_deltas > max_delta_epochs:
+            out["compact"] = self.compact_table()
+        else:
+            out["compact"] = {"due": False, "delta_epochs": n_deltas,
+                              "threshold": max_delta_epochs}
+
+        loose = 0
+        for kind in ("manifest", "metrics"):
+            d = os.path.join(self.path, kind)
+            if os.path.isdir(d):
+                loose += sum(
+                    1 for n in os.listdir(d)
+                    if n.startswith("e") and n.endswith(".parquet")
+                )
+        if loose > max_loose_sidecars:
+            out["sidecars"] = self.compact_sidecars()
+        else:
+            out["sidecars"] = {"due": False, "loose_files": loose,
+                               "threshold": max_loose_sidecars}
+
+        n_snaps = len(self.snapshots())
+        if n_snaps > keep_snapshots:
+            out["vacuum"] = self.vacuum(keep_snapshots=keep_snapshots)
+        else:
+            out["vacuum"] = {"due": False, "snapshots": n_snaps,
+                             "threshold": keep_snapshots}
+        return out
+
     def _check_staging_clear(self, epoch: int, stage: bool) -> None:
         """A pending staged snapshot blocks every commit except re-staging
         the SAME epoch (the crash-recovery path): committing past it would
