@@ -229,3 +229,22 @@ def test_replicate_cli(spark, tmp_path):
     assert main(["follow", "--table", tbl, "--out", out]) == 0
     assert main(["replicate", "--feed", out, "--table", rep, "--buckets", "2"]) == 0
     assert HashMergeTable(spark, rep).read().count() == 1
+
+
+def test_empty_change_window_flows_through(spark, tmp_path):
+    """An epoch that commits but nets no changes (delete of an absent key)
+    still produces a window — empty but schema-carrying — and the replica
+    advances its watermark through it."""
+    from read_comp_data_pipeline_spark.operators.changefeed import replicate_feed
+
+    tbl, out, rep = str(tmp_path / "t"), str(tmp_path / "feed"), str(tmp_path / "rep")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    t.merge(_src(spark, [("r", "zzz", None, 1, "D")]), epoch=1)
+    r = follow_changes(spark, t, out)
+    assert not r["noop"] and r["changes"] == 0
+    res = replicate_feed(spark, out, rep, n_buckets=2)
+    assert res["windows_applied"] == 2
+    replica = HashMergeTable(spark, rep)
+    assert replica.last_epoch == 1 and replica.read().count() == 1
