@@ -53,6 +53,10 @@ Commands:
               row-group zone maps prune value predicates
   history   — all retained versions of one key across snapshots
               (row-granular time travel)
+  export    — write a snapshot's full state to plain parquet (current,
+              or --epoch/--tag/--version): the reproducible corpus
+              extraction step ("which exact state built train-v3" —
+              pair with `tag`, which pins the state against vacuum)
   dedup-store  — build the near-dup signature store for a document corpus
   dedup-delta  — near-dup edges of (corpus ∪ delta), banding only the
                  delta against the store; optionally fold the delta back
@@ -187,6 +191,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--epoch", type=int, default=None,
                    help="roll back to the state as of this committed epoch")
     p.add_argument("--tag", default=None, help="roll back to a tagged snapshot")
+
+    p = sub.add_parser("export")
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", required=True, help="parquet output directory")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="export the state as of this committed epoch")
+    p.add_argument("--tag", default=None, help="export a tagged snapshot")
+    p.add_argument("--version", type=int, default=None,
+                   help="export this snapshot version")
 
     p = sub.add_parser("history")
     p.add_argument("--table", required=True)
@@ -390,6 +403,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(t.rollback(
             version=args.version, epoch=args.epoch, tag=args.tag,
         )))
+    elif args.cmd == "export":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        t = HashMergeTable(spark, args.table)
+        if sum(x is not None for x in (args.epoch, args.tag, args.version)) > 1:
+            raise SystemExit("export: pass at most one of --epoch/--tag/--version")
+        if args.tag is not None:
+            snap = t.snapshot_by_tag(args.tag)
+        elif args.epoch is not None:
+            snap = t.snapshot_at_epoch(args.epoch)
+        elif args.version is not None:
+            matches = [s for s in t.snapshots() if int(s["version"]) == args.version]
+            if not matches:
+                raise SystemExit(f"no retained snapshot with version {args.version}")
+            snap = matches[0]
+        else:
+            snap = t._snapshot()
+        t.read(at_snapshot=snap).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "out": args.out,
+            "rows": spark.read.parquet(args.out).count(),
+            "epoch": int(snap["epoch"]),
+            "version": int(snap["version"]),
+        }))
     elif args.cmd == "history":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -2103,6 +2103,52 @@ from read_comp_data_pipeline_spark.operators.contamination import (  # noqa: E40
 )
 
 
+_SRC_REP_THRESHOLD = 0.70
+
+
+@_q(
+    "source_reputation_filter",
+    r"""
+    WITH q AS (""" + _QUALITY_SQL.replace("{STOP_SQL}", _STOP_SQL) + r"""),
+    docs AS (
+      SELECT d.doc_id, d.source, q.quality
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    rep AS (
+      SELECT source, round(avg(quality), 4) AS src_quality,
+             count(*) AS n_src_docs
+      FROM docs GROUP BY source
+    )
+    SELECT d.doc_id, d.source, r.src_quality, r.n_src_docs
+    FROM docs d JOIN rep r USING (source)
+    WHERE r.src_quality >= """ + str(_SRC_REP_THRESHOLD) + r"""
+      AND r.n_src_docs >= 5
+    """,
+)
+def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-reputation curation (the C4/RefinedWeb domain-level move):
+    score every document, aggregate MEAN quality per source, then keep
+    only documents from sources whose mean clears the bar (and that have
+    enough docs to judge) — junk farms are dropped wholesale, including
+    their individually-lucky documents. Two-pass shape that scales: one
+    map-side-combinable per-source aggregate (|sources| rows), broadcast
+    back over the corpus — the corpus itself is scanned once per pass and
+    never shuffled on doc identity. Value-exact oracle."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    rep = docs.groupBy("source").agg(
+        F.round(F.avg("quality"), 4).alias("src_quality"),
+        F.count("*").alias("n_src_docs"),
+    ).where(
+        (F.col("src_quality") >= _SRC_REP_THRESHOLD) & (F.col("n_src_docs") >= 5)
+    )
+    return docs.join(F.broadcast(rep), on="source", how="inner").select(
+        "doc_id", "source", "src_quality", "n_src_docs"
+    )
+
+
 @_q("doc_repetition_signals", textstats.repetition_oracle_sql())
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition profile (Gopher-style filters): duplicate-line
@@ -2734,6 +2780,8 @@ _BEYOND_GATE = [
     "corpus_shuffle_shards",       # sampling family: deterministic global
                                    # shuffle (stratified_sample's window
                                    # discipline, shard-keyed)
+    "source_reputation_filter",    # curation family: quality_scores (gated)
+                                   # aggregated per source + broadcast keep
 ]
 
 assert len(_GATE_FIRST_50) == 50, len(_GATE_FIRST_50)

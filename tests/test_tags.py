@@ -77,3 +77,41 @@ def test_tag_current_by_default_and_validation(table):
         table.set_tag("bogus", version=10_000)
     with pytest.raises(KeyError):
         table.drop_tag("never-set")
+
+
+def test_export_cli_tagged_snapshot_reproducible(spark, tmp_path):
+    """export --tag writes the PINNED state even after later epochs and
+    vacuum — the reproducible 'which exact state built train-v3' path."""
+    from read_comp_data_pipeline_spark.__main__ import main
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ])
+
+    def src(rows):
+        return spark.createDataFrame(
+            rows,
+            T.StructType(list(schema.fields) + [T.StructField("op", T.StringType(), False)]),
+        )
+
+    tbl = str(tmp_path / "t2")
+    t = HashMergeTable.create(spark, tbl, schema, n_buckets=2)
+    t.merge(src([("r", "a", "a0", 0, "I"), ("r", "b", "b0", 1, "I")]), epoch=0)
+    t.set_tag("train-v3")
+    for e in range(1, 4):
+        t.merge(src([("r", "a", f"a{e}", e, "U")]), epoch=e)
+    t.vacuum(keep_snapshots=1)
+    out = str(tmp_path / "corpus")
+    assert main(["export", "--table", tbl, "--tag", "train-v3", "--out", out]) == 0
+    got = {(r["repo"], r["path"], r["content"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("r", "a", "a0"), ("r", "b", "b0")}
+    # current-state export sees the latest epoch
+    out2 = str(tmp_path / "cur")
+    assert main(["export", "--table", tbl, "--out", out2]) == 0
+    got2 = {(r["repo"], r["path"], r["content"])
+            for r in spark.read.parquet(out2).collect()}
+    assert got2 == {("r", "a", "a3"), ("r", "b", "b0")}
