@@ -247,3 +247,25 @@ def test_bm25_topk_is_distributed_and_filters_before_tf_agg(spark, sf_dir):
     # aggregate the full token relation (only dlen aggregates all tokens,
     # and that one is a map-side-combinable count)
     assert "table" in plan and "Filter" in plan
+
+
+def test_source_reputation_join_broadcasts_and_never_shuffles_docs(spark, sf_dir):
+    """The two-pass reputation filter's scale contract: the per-source
+    aggregate (|sources| rows) broadcasts back over the corpus; the corpus
+    is never shuffled or sort-merge-joined on doc identity."""
+    import contextlib
+    import io
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["source_reputation_filter"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every exchange keys on source (the tiny dimension), never doc_id
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", buf.getvalue()):
+        assert "doc_id" not in m.group(1), m.group(0)
