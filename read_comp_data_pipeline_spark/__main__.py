@@ -228,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True, help="replica table path")
     p.add_argument("--buckets", type=int, default=16)
     p.add_argument("--mode", choices=("cow", "mor"), default="mor")
+    p.add_argument("--key-cols", default=None,
+                   help="comma-separated key columns for a NEW replica — "
+                        "must match the source table's keys (default: "
+                        "repo,path)")
 
     p = sub.add_parser("changes")
     p.add_argument("--table", required=True)
@@ -363,13 +367,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "alter":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
+        if (args.rename is None) == (args.drop is None):
+            raise SystemExit("alter: pass exactly one of --rename OLD NEW / --drop COLUMN")
         t = HashMergeTable(spark, args.table)
         if args.rename is not None:
             print(json.dumps(t.rename_column(args.rename[0], args.rename[1])))
-        elif args.drop is not None:
-            print(json.dumps(t.drop_column(args.drop)))
         else:
-            raise SystemExit("alter: pass --rename OLD NEW or --drop COLUMN")
+            print(json.dumps(t.drop_column(args.drop)))
     elif args.cmd == "sort-order":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
@@ -473,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(replicate_feed(
             spark, args.feed, args.table, n_buckets=args.buckets, mode=args.mode,
+            key_cols=args.key_cols.split(",") if args.key_cols else None,
         )))
     elif args.cmd == "changes":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable

@@ -53,9 +53,14 @@ def read_cursor(out_path: str) -> dict[str, Any] | None:
 
 
 def _write_cursor(out_path: str, cursor: dict[str, Any]) -> None:
+    # same flush+fsync-then-rename discipline as the table's snapshot
+    # pointer: a torn/empty cursor would wedge the feed (or worse, a lost
+    # one would re-bootstrap and double-deliver every live row)
     tmp = os.path.join(out_path, _CURSOR + ".tmp")
     with open(tmp, "w") as f:
         json.dump(cursor, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_path, _CURSOR))
 
 
@@ -100,9 +105,17 @@ def replicate_feed(
 
     applied = skipped = rows = 0
     target = None
+    if HashMergeTable.exists(target_path):
+        target = HashMergeTable(spark, target_path)
+    watermark = target.last_epoch if target is not None else -1
     for w in window_dirs(feed_path):
-        df = spark.read.parquet(w)
+        # the window's epoch range is in its name — already-applied
+        # windows skip on string work alone, no parquet or snapshot read
         to_epoch = int(os.path.basename(w).split("-")[1])
+        if to_epoch <= watermark:
+            skipped += 1
+            continue
+        df = spark.read.parquet(w)
         src = (
             df.where(F.col("_change_type") != "update_before")
             .withColumn(
@@ -113,20 +126,15 @@ def replicate_feed(
         )
         incoming = src.drop("op").schema
         if target is None:
-            if HashMergeTable.exists(target_path):
-                target = HashMergeTable(spark, target_path)
-            else:
-                target = HashMergeTable.create(
-                    spark, target_path, incoming, n_buckets=n_buckets,
-                    mode=mode, key_cols=key_cols,
-                )
-        if to_epoch <= target.last_epoch:
-            skipped += 1
-            continue
+            target = HashMergeTable.create(
+                spark, target_path, incoming, n_buckets=n_buckets,
+                mode=mode, key_cols=key_cols,
+            )
         new_schema = evolved_schema(target.schema, incoming)
         if new_schema is not None:
             target.evolve_schema(new_schema)
         st = target.merge(src, epoch=to_epoch)
+        watermark = to_epoch
         applied += 1
         rows += int(st.get("rows_applied", 0))
     return {
@@ -154,6 +162,8 @@ def follow_changes(
     overlap — applying them in order reconstructs the table exactly
     (pinned by tests/test_changefeed.py).
     """
+    import shutil
+
     os.makedirs(out_path, exist_ok=True)
     # pin ONE source snapshot for the whole export (watermark + window
     # end + any read) — reading "current" twice would race a concurrent
@@ -162,17 +172,41 @@ def follow_changes(
     to_epoch = int(src_snap["epoch"])
     cursor = read_cursor(out_path)
     from_epoch = int(cursor["epoch"]) if cursor else -1
+    reserved = {"_change_type", "_from_epoch", "_to_epoch", "op"}
+    clash = reserved & {f.name for f in source.schema.fields}
+    if clash:
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the feed's "
+            "bookkeeping columns — rename them before following"
+        )
     if to_epoch <= from_epoch:
+        if cursor is not None and to_epoch < from_epoch:
+            raise ValueError(
+                f"source epoch {to_epoch} is BELOW the cursor ({from_epoch}): "
+                "the source was rolled back past what the feed already "
+                "delivered. The old windows cannot be retracted — start a "
+                "NEW feed directory and reset the consumer."
+            )
         return {"noop": True, "epoch": from_epoch}
     if cursor is not None:
         base = source.snapshot_at_epoch(from_epoch)  # raises if vacuumed
-        if int(base.get("epoch", -1)) != from_epoch:
+        if int(base.get("epoch", -1)) != from_epoch or (
+            "timeline" in cursor
+            and int(base.get("timeline", 0)) != int(cursor["timeline"])
+        ):
+            # epoch mismatch = vacuumed; timeline mismatch = the source was
+            # rolled back below the cursor and REPLAYED past it — same
+            # epoch number, different lineage (rollback bumps the marker;
+            # maintenance commits at the same epoch keep it, so they pass).
+            # Diffing from the new timeline's snapshot would skip the
+            # old@cursor → new@cursor correction downstream never saw.
             raise ValueError(
-                f"cursor epoch {from_epoch} no longer resolves to a retained "
-                f"snapshot (vacuumed, or the source was rolled back below the "
-                "cursor). The feed cannot re-bootstrap without double-"
-                "delivering — start a NEW feed directory and reset the "
-                "consumer, and size vacuum retention to the follow cadence."
+                f"cursor epoch {from_epoch} no longer resolves to the "
+                "timeline the feed delivered (vacuumed, or the source was "
+                "rolled back below the cursor and replayed). The feed cannot "
+                "re-bootstrap without double-delivering — start a NEW feed "
+                "directory and reset the consumer, and size vacuum retention "
+                "to the follow cadence."
             )
         changes = source.changes_between(base, src_snap)
     else:
@@ -182,6 +216,17 @@ def follow_changes(
     win_dir = os.path.join(
         out_path, "windows", f"e{from_epoch + 1:010d}-{to_epoch:010d}"
     )
+    # a crash between a window write and the cursor swap, followed by NEW
+    # source commits before the retry, would leave the crashed attempt's
+    # window (same lo, smaller hi) as an OVERLAPPING orphan — the cursor
+    # never advanced past from_epoch, so any window starting at this lo is
+    # uncommitted and must be superseded, not accumulated
+    wroot = os.path.join(out_path, "windows")
+    lo_prefix = f"e{from_epoch + 1:010d}-"
+    if os.path.isdir(wroot):
+        for name in os.listdir(wroot):
+            if name.startswith(lo_prefix) and os.path.join(wroot, name) != win_dir:
+                shutil.rmtree(os.path.join(wroot, name))
     (
         changes
         .withColumn("_from_epoch", F.lit(from_epoch).cast("long"))
@@ -192,6 +237,7 @@ def follow_changes(
     _write_cursor(out_path, {
         "epoch": to_epoch,
         "version": int(src_snap["version"]),
+        "timeline": int(src_snap.get("timeline", 0)),
         "windows": (cursor or {}).get("windows", 0) + 1,
     })
     return {

@@ -612,7 +612,10 @@ class HashMergeTable:
             raise KeyError(f"no column named {old!r}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
-        if new in ("op", "_b") or not str(new).isidentifier():
+        if (
+            new in ("op", "_b", "_change_type", "_from_epoch", "_to_epoch")
+            or not str(new).isidentifier()
+        ):
             raise ValueError(f"invalid column name {new!r}")
         refs = self._constraints_referencing(snap, old)
         if refs:
@@ -1021,8 +1024,14 @@ class HashMergeTable:
                 raise ValueError(f"sort_order column {c!r} not in table schema")
         snap["sort_order"] = list(sort_order) if sort_order else []
         if zorder and snap["sort_order"]:
-            if not (1 <= bits and bits * len(snap["sort_order"]) <= 60):
-                raise ValueError(f"bits * n_columns must fit a long, got {bits}")
+            if not (1 <= bits <= 12 and bits * len(snap["sort_order"]) <= 60):
+                # the per-column cut list is 2^bits entries — cap bits
+                # itself (4096 buckets/column is already finer than any
+                # row-group granularity), not just the interleaved width
+                raise ValueError(
+                    f"bits must be in [1, 12] and bits * n_columns must "
+                    f"fit a long, got {bits}"
+                )
             norms = []
             for c in snap["sort_order"]:
                 norm = _zorder_norm(c, fields[c].dataType)
@@ -1736,6 +1745,12 @@ class HashMergeTable:
         new["version"] = int(cur["version"]) + 1
         new["rollback_of"] = int(target["version"])
         new["rolled_back_from"] = int(cur["version"])
+        # timeline marker: every rollback starts a new lineage; all later
+        # commits inherit it (commits mutate the loaded dict). Consumers
+        # that diff across snapshots (the follow feed) use it to tell
+        # "replayed epoch N on a NEW timeline" apart from "maintenance
+        # commit at the same epoch" — epoch+version alone cannot.
+        new["timeline"] = int(cur.get("timeline", 0)) + 1
         # consolidate each side table to the target epoch under the CURRENT
         # snapshot's file view (the target's own segment list may reference
         # files a later compact_sidecars folded and removed)

@@ -127,19 +127,21 @@ def mixture_sample(
     doc's keep/drop never flips when other docs arrive). Unlisted strata
     keep at ``default_rate``. ZERO shuffles: a pure filter Catalyst pushes
     into the scan. Rates are exact to 1/10000."""
-    for name, r in rates.items():
+    for name, r in {**rates, "default_rate": default_rate}.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
     bucket = F.pmod(
         phash(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
         F.lit(_BUCKETS),
     )
+    default_thr = F.lit(int(round(default_rate * _BUCKETS)))
     thr = None
     for name, r in rates.items():
         cond = F.col(strata_col) == name
         lit_thr = F.lit(int(round(r * _BUCKETS)))
         thr = F.when(cond, lit_thr) if thr is None else thr.when(cond, lit_thr)
-    thr = thr.otherwise(F.lit(int(round(default_rate * _BUCKETS))))
+    # empty rates = a uniform global sample at default_rate
+    thr = default_thr if thr is None else thr.otherwise(default_thr)
     return df.where(bucket < thr)
 
 
@@ -152,14 +154,14 @@ def mixture_sample_sql(
 ) -> str:
     """DuckDB WHERE predicate mirroring :func:`mixture_sample`."""
     h = phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    default_thr = int(round(default_rate * _BUCKETS))
+    if not rates:  # CASE with zero WHEN arms is invalid SQL
+        return f"(({h}) % {_BUCKETS}) < {default_thr}"
     arms = "".join(
         f" WHEN {strata_col} = '{name}' THEN {int(round(r * _BUCKETS))}"
         for name, r in rates.items()
     )
-    return (
-        f"(({h}) % {_BUCKETS}) < "
-        f"(CASE{arms} ELSE {int(round(default_rate * _BUCKETS))} END)"
-    )
+    return f"(({h}) % {_BUCKETS}) < (CASE{arms} ELSE {default_thr} END)"
 
 
 def corpus_shuffle(

@@ -248,3 +248,52 @@ def test_empty_change_window_flows_through(spark, tmp_path):
     assert res["windows_applied"] == 2
     replica = HashMergeTable(spark, rep)
     assert replica.last_epoch == 1 and replica.read().count() == 1
+
+
+def test_crash_then_more_commits_supersedes_orphan_window(spark, tmp_path):
+    """Crash between window write and cursor swap, then NEW source commits
+    before the retry: the crashed attempt's window (same lo, smaller hi)
+    must be superseded, not left to overlap — an insert-then-delete inside
+    the orphan's range would otherwise resurrect in the replica."""
+    from read_comp_data_pipeline_spark.operators.changefeed import replicate_feed
+
+    tbl, out, rep = str(tmp_path / "t"), str(tmp_path / "feed"), str(tmp_path / "rep")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    t.merge(_src(spark, [("r", "a", "a0", 0, "I")]), epoch=0)
+    follow_changes(spark, t, out)
+    # epoch 1 inserts x; the follow crashes AFTER the window write (cursor
+    # still at 0); epoch 2 then deletes x before the retry
+    t.merge(_src(spark, [("r", "x", "x0", 1, "I")]), epoch=1)
+    r_crashed = follow_changes(spark, t, out)
+    with open(os.path.join(out, "CURSOR"), "w") as f:
+        json.dump({"epoch": 0, "version": 1, "windows": 1}, f)
+    t.merge(_src(spark, [("r", "x", None, 2, "D")]), epoch=2)
+    r_retry = follow_changes(spark, t, out)
+    assert r_retry["to_epoch"] == 2
+    assert not os.path.exists(r_crashed["window"])  # orphan superseded
+    names = [os.path.basename(w) for w in window_dirs(out)]
+    assert names == ["e0000000000-0000000000", "e0000000001-0000000002"]
+    replicate_feed(spark, out, rep, n_buckets=2)
+    got = {(r["repo"], r["path"]) for r in
+           HashMergeTable(spark, rep).read().collect()}
+    assert got == {("r", "a")}  # x never resurrects
+
+
+def test_rollback_below_cursor_fails_loudly(spark, tmp_path):
+    """Both rollback shapes must refuse, not silently mis-deliver: the
+    source sitting BELOW the cursor, and the source rolled back then
+    REPLAYED past the cursor (same epoch, new timeline)."""
+    tbl, out = str(tmp_path / "t"), str(tmp_path / "feed")
+    t = HashMergeTable.create(spark, tbl, SCHEMA, n_buckets=2)
+    for e in range(3):
+        t.merge(_src(spark, [("r", "a", f"a{e}", e, "U" if e else "I")]), epoch=e)
+    follow_changes(spark, t, out)  # cursor at epoch 2
+    t.rollback(epoch=0)
+    with pytest.raises(ValueError, match="rolled back"):
+        follow_changes(spark, t, out)  # source now below the cursor
+    # replay PAST the cursor on the new timeline: epoch matches, timeline not
+    for e in range(1, 4):
+        t.merge(_src(spark, [("r", "a", f"b{e}", 10 + e, "U")]), epoch=e)
+    assert t.last_epoch == 3  # past the cursor's epoch 2
+    with pytest.raises(ValueError, match="timeline"):
+        follow_changes(spark, t, out)

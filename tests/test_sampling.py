@@ -198,3 +198,31 @@ def test_corpus_shuffle_is_permutation_and_single_shuffle(spark, sf_dir):
     final = buf.getvalue().split("== Initial Plan ==")[0]  # AQE repeats nodes
     nodes = set(re.findall(r"Exchange \((\d+)\)", final))
     assert len(nodes) == 1, buf.getvalue()
+
+
+def test_mixture_sample_empty_rates_is_uniform_global_sample(spark):
+    """rates={} = one global keep rate; the Spark filter and the SQL
+    rendering agree, and default_rate is range-validated."""
+    import duckdb
+    import pytest as _pytest
+
+    from read_comp_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+        mixture_sample_sql,
+    )
+
+    n = 4000
+    d = spark.range(n).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    kept = mixture_sample(d, "lang", {}, default_rate=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert abs(len(ids) / n - 0.5) < 0.05
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT range AS doc_id, 'en' AS lang FROM range({n})")
+    sql_ids = {
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM t WHERE " + mixture_sample_sql("lang", {}, default_rate=0.5)
+        ).fetchall()
+    }
+    assert ids == sql_ids
+    with _pytest.raises(ValueError, match=r"\[0, 1\]"):
+        mixture_sample(d, "lang", {}, default_rate=1.5)
