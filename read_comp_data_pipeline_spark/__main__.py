@@ -603,6 +603,7 @@ def main(argv: list[str] | None = None) -> int:
                if snap.get("sort_order") and snap.get("sort_strategy") else {}),
             "constraints": snap.get("constraints") or {},
             "tags": t.tags(),
+            **({"timeline": int(snap["timeline"])} if snap.get("timeline") else {}),
             **({"staged_epoch": int(staged["epoch"])} if staged else {}),
             **(lambda d: {"audit_rejections": len(d)} if d else {})(
                 sorted(os.listdir(os.path.join(args.table, "audits")))

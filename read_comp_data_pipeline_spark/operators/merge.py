@@ -2097,6 +2097,7 @@ class HashMergeTable:
                     int(s["n_buckets"]), int(s["current_schema_id"]),
                     len(s["schemas"]), len(s.get("buckets") or {}),
                     len(s.get("deltas") or []), int(s.get("seq_hi", -1)),
+                    int(s.get("timeline", 0)),
                 )
                 for s in self.snapshots()
             ]
@@ -2104,7 +2105,7 @@ class HashMergeTable:
                 rows,
                 "version long, epoch long, mode string, n_buckets int, "
                 "current_schema_id int, n_schemas int, n_live_buckets int, "
-                "n_deltas int, seq_hi long",
+                "n_deltas int, seq_hi long, timeline int",
             )
         if kind == "schemas":
             ids, _ = _snap_field_ids(snap)
