@@ -19,6 +19,10 @@ Commands:
   compact-sidecars — fold per-epoch manifest/metrics files into
                      consolidated segments (generational, crash-safe)
   vacuum    — expire old snapshots + unreferenced files
+  delete    — row-level DELETE FROM … WHERE (GDPR/retention redaction):
+              affected buckets rewritten, epoch unchanged (never consumes
+              a WAL epoch number; the follow feed delivers the deletion
+              with the next epoch's window)
   maintain  — one policy-driven pass: compact / fold sidecars / vacuum,
               each only when its metadata signal says it is due
   show      — table summary (row count, last epoch, manifest tail)
@@ -128,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--table", required=True)
         if name == "vacuum":
             p.add_argument("--keep-snapshots", type=int, default=2)
+
+    p = sub.add_parser("delete")
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", required=True,
+                   help="boolean SQL predicate; matching rows are deleted "
+                        "(NULL keeps, SQL DELETE semantics). Maintenance "
+                        "commit: rewrites affected buckets, epoch unchanged "
+                        "— never consumes a WAL epoch number")
 
     p = sub.add_parser("maintain")
     p.add_argument("--table", required=True)
@@ -350,6 +362,10 @@ def main(argv: list[str] | None = None) -> int:
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
         print(json.dumps(HashMergeTable(spark, args.table).rebucket(args.buckets)))
+    elif args.cmd == "delete":
+        from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
+
+        print(json.dumps(HashMergeTable(spark, args.table).delete_where(args.where)))
     elif args.cmd == "maintain":
         from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 

@@ -189,25 +189,42 @@ def follow_changes(
             )
         return {"noop": True, "epoch": from_epoch}
     if cursor is not None:
-        base = source.snapshot_at_epoch(from_epoch)  # raises if vacuumed
-        if int(base.get("epoch", -1)) != from_epoch or (
-            "timeline" in cursor
-            and int(base.get("timeline", 0)) != int(cursor["timeline"])
-        ):
-            # epoch mismatch = vacuumed; timeline mismatch = the source was
-            # rolled back below the cursor and REPLAYED past it — same
-            # epoch number, different lineage (rollback bumps the marker;
-            # maintenance commits at the same epoch keep it, so they pass).
-            # Diffing from the new timeline's snapshot would skip the
-            # old@cursor → new@cursor correction downstream never saw.
-            raise ValueError(
-                f"cursor epoch {from_epoch} no longer resolves to the "
-                "timeline the feed delivered (vacuumed, or the source was "
-                "rolled back below the cursor and replayed). The feed cannot "
-                "re-bootstrap without double-delivering — start a NEW feed "
-                "directory and reset the consumer, and size vacuum retention "
-                "to the follow cadence."
+        # the diff base is the EXACT snapshot the feed last delivered —
+        # resolving by version (not just epoch) is what lets a same-epoch
+        # content change (delete_where) ride out in the next window
+        # instead of being silently skipped
+        base = None
+        if "version" in cursor:
+            matches = [
+                s for s in source.snapshots()
+                if int(s["version"]) == int(cursor["version"])
+            ]
+            base = matches[0] if matches else None
+        if base is None:
+            # exact version vacuumed: fall back to the latest same-epoch
+            # snapshot, which is safe only if content and timeline match
+            base = source.snapshot_at_epoch(from_epoch)  # raises if vacuumed
+            ok = (
+                int(base.get("epoch", -1)) == from_epoch
+                and int(base.get("timeline", 0)) == int(cursor.get("timeline", 0))
+                and int(base.get("content_rev", 0)) == int(cursor.get("content_rev", 0))
             )
+            if not ok:
+                # epoch mismatch = vacuumed past the cursor; timeline
+                # mismatch = rolled back below the cursor and replayed;
+                # content_rev mismatch = a delete_where landed and its
+                # pre-image snapshot is already vacuumed — in every case
+                # diffing from this snapshot would skip changes downstream
+                # never saw.
+                raise ValueError(
+                    f"cursor epoch {from_epoch} no longer resolves to the "
+                    "exact state the feed delivered (vacuumed past a "
+                    "row-level delete, or the source was rolled back below "
+                    "the cursor and replayed). The feed cannot re-bootstrap "
+                    "without double-delivering — start a NEW feed directory "
+                    "and reset the consumer, and size vacuum retention to "
+                    "the follow cadence."
+                )
         changes = source.changes_between(base, src_snap)
     else:
         changes = source.read(at_snapshot=src_snap).withColumn(
@@ -238,6 +255,7 @@ def follow_changes(
         "epoch": to_epoch,
         "version": int(src_snap["version"]),
         "timeline": int(src_snap.get("timeline", 0)),
+        "content_rev": int(src_snap.get("content_rev", 0)),
         "windows": (cursor or {}).get("windows", 0) + 1,
     })
     return {

@@ -1503,6 +1503,72 @@ class HashMergeTable:
 
     # -- write-audit-publish staging ----------------------------------------------
 
+    def delete_where(self, predicate: str) -> dict[str, Any]:
+        """Row-level ``DELETE FROM … WHERE`` (Iceberg copy-on-write DELETE
+        analogue) as a MAINTENANCE commit: the affected buckets are
+        rewritten without the matching rows and the version advances with
+        the EPOCH UNCHANGED — the WAL's epoch numbering is never consumed
+        (a delete that claimed an epoch number would make the ingest loop
+        silently skip that WAL slice). The retention/GDPR redaction move.
+
+        SQL DELETE semantics: rows where the predicate is NULL are KEPT.
+        MOR deltas are folded first (one compact) so an older delta row
+        cannot resurrect a deleted key at read time. Work ∝ affected
+        buckets. Time travel BEFORE this commit still shows the rows —
+        vacuum expires that history when the point is erasure. The commit
+        bumps ``content_rev``: the marker content-preserving maintenance
+        (compaction, sort, rebucket) leaves alone, so state-diff consumers
+        (the follow feed) can tell "same epoch, rows changed" from "same
+        epoch, layout changed".
+        """
+        self._check_staging_clear(-1, False)
+        snap = self._snapshot()
+        if snap.get("deltas"):
+            self.compact_table()
+            snap = self._snapshot()
+        n_buckets = snap["n_buckets"]
+        key_cols = snap["key_cols"]
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        victims = (
+            self.read(at_snapshot=snap).where(hit)
+            .withColumn("_b", bucket_expr(n_buckets, key_cols))
+        )
+        affected = sorted(r["_b"] for r in victims.select("_b").distinct().collect())
+        if not affected:
+            return {"deleted": 0, "buckets_rewritten": 0,
+                    "version": int(snap["version"])}
+        kept = (
+            self.read(buckets=affected, at_snapshot=snap).where(~hit)
+            .withColumn("_b", bucket_expr(n_buckets, key_cols))
+        )
+        data_dir = f"data/dl{snap['version']:010d}"
+        self._write_bucketed(snap, kept, len(affected),
+                             os.path.join(self.path, data_dir))
+        bucket_rows = self._written_bucket_counts(os.path.join(self.path, data_dir))
+        old_rows = sum(
+            int(e["rows"]) for b, e in snap["buckets"].items() if int(b) in set(affected)
+        )
+        for b in affected:
+            rows = bucket_rows.get(int(b), 0)
+            if rows > 0:
+                snap["buckets"][str(b)] = {
+                    "dir": f"{data_dir}/_b={b}",
+                    "schema_id": snap["current_schema_id"],
+                    "rows": rows,
+                }
+            else:
+                snap["buckets"].pop(str(b), None)
+        deleted = old_rows - sum(bucket_rows.values())
+        snap["content_rev"] = int(snap.get("content_rev", 0)) + 1
+        snap["version"] += 1
+        self._commit_snapshot(snap)
+        return {
+            "deleted": int(deleted),
+            "buckets_rewritten": len(affected),
+            "version": int(snap["version"]),
+            "epoch": int(snap["epoch"]),
+        }
+
     def maintain(
         self,
         max_delta_epochs: int = 8,

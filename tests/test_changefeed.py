@@ -295,5 +295,5 @@ def test_rollback_below_cursor_fails_loudly(spark, tmp_path):
     for e in range(1, 4):
         t.merge(_src(spark, [("r", "a", f"b{e}", 10 + e, "U")]), epoch=e)
     assert t.last_epoch == 3  # past the cursor's epoch 2
-    with pytest.raises(ValueError, match="timeline"):
+    with pytest.raises(ValueError, match="rolled back below the cursor"):
         follow_changes(spark, t, out)
