@@ -71,25 +71,28 @@ def duplicate_ngram_spans(
     automata don't distribute; this does.
     """
     toks = tokens_expr(text_col)
-    # CASE WHEN keeps the gram expression TOTAL: Catalyst infers
-    # size(transform(...)) > 0 filters from the explode and evaluates them
-    # alongside the row filter, so an unguarded sequence(0, size-n) would
-    # crash on <n-token docs (descending sequence → slice start 0)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.where(F.size(toks) >= n).select(
-        F.col(id_col).alias("id"), grams.alias("_grams")
+    # two-projection shape: tokens materialized first so the split regex
+    # never re-runs inside the interpreted transform (see _gram_array);
+    # the CASE WHEN guard keeps the gram expression TOTAL (an unguarded
+    # sequence(0, size-n) would crash on <n-token docs)
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select("id", _gram_array("_toks", n).alias("_grams"))
     )
+    # per_doc_gram feeds BOTH the corpus gram totals and the per-doc dup
+    # rollup; without truncation the whole scan + gram build + explode +
+    # aggregate subtree executes twice (the two consumers differ by an
+    # inferred IsNotNull, so exchange reuse never fires — r6 plan nodes
+    # 4-12 vs 13-21). The checkpointed relation is the already-compacted
+    # (doc, gram-hash, count) set — the exact bytes both downstream
+    # shuffles move anyway, never the gram strings.
     per_doc_gram = (
         base.select("id", F.explode("_grams").alias("gram"))
         .where(F.col("gram") != "")
         .groupBy("id", F.xxhash64("gram").alias("_g"))
         .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=True)
     )
     dup = (
         per_doc_gram.groupBy("_g")
@@ -100,7 +103,12 @@ def duplicate_ngram_spans(
     dup_per_doc = per_doc_gram.join(dup, on="_g").groupBy("id").agg(
         F.sum("_c").alias("n_dup_spans")
     )
-    totals = base.select("id", F.size("_grams").cast("long").alias("n_spans"))
+    # size(transform(sequence(0, size-n), ...)) ≡ size(toks) - n + 1 for
+    # every row the filter keeps — same count, zero gram construction
+    totals = df.where(F.size(toks) >= n).select(
+        F.col(id_col).alias("id"),
+        (F.size(toks) - F.lit(n - 1)).cast("long").alias("n_spans"),
+    )
     out = totals.join(dup_per_doc, on="id", how="left")
     n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
     return out.select(
@@ -172,27 +180,36 @@ def collapse_exact(
     distinct content; downstream clustering recovers full groups from the
     star edges via connected components.
 
-    Shuffle shape: one hash-aggregate keyed on md5(text) (map-side
-    combinable — a million-copy cluster partially aggregates on the map
-    side, so the hot key never concentrates raw rows) plus one join on the
-    hash for the edges.
+    Shuffle shape: one hash-aggregate keyed on md5(text) over LONGS ONLY
+    (map-side combinable — a million-copy cluster partially aggregates on
+    the map side, so the hot key never concentrates raw rows), then the
+    keeper's text is fetched back by a SHUFFLE_HASH semi-join on
+    (content_hash, id). Carrying ``min(text)`` through the aggregate
+    instead forces a SortAggregate — every map task sorts the full multi-KB
+    payload (the same payload-sort pathology operators/partial.py's
+    hash_fetch fold exists to avoid; observed as the dominant cost in the
+    r6 minhash plan, plans/r06/dedup_minhash_lsh_before.txt). The fetch is
+    value-identical: all texts in a group are md5-equal, so the keeper
+    row's text IS min(text).
     """
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.md5(F.col(text_col)).alias("content_hash"),
     )
-    groups = hashed.groupBy("content_hash").agg(
-        F.min("id").alias("keeper_id"),
-        # all texts in a group are identical (md5-keyed), so min is just
-        # a deterministic pick that partial-aggregates map-side
-        F.min("text").alias("keeper_text"),
-    )
-    reps = groups.select(
-        F.col("keeper_id").alias(id_col), F.col("keeper_text").alias(text_col)
-    )
+    groups = hashed.groupBy("content_hash").agg(F.min("id").alias("keeper_id"))
+    # hash-join (never sort-merge: the streamed side carries the payload)
+    # keyed on (content_hash, id) — exact even if an id is duplicated
+    reps = hashed.join(
+        groups.select("content_hash", F.col("keeper_id").alias("id")).hint(
+            "SHUFFLE_HASH"
+        ),
+        on=["content_hash", "id"],
+        how="left_semi",
+    ).select(F.col("id").alias(id_col), F.col("text").alias(text_col))
     exact_edges = (
-        hashed.join(groups.select("content_hash", "keeper_id"), on="content_hash")
+        hashed.drop("text")
+        .join(groups.select("content_hash", "keeper_id"), on="content_hash")
         .where(F.col("id") != F.col("keeper_id"))
         .select(F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
     )
@@ -226,6 +243,27 @@ def tokens_expr(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def _gram_array(toks_col: str, n: int):
+    """n-gram array over a MATERIALIZED token-array column.
+
+    The token array must be a bound column (not the inline ``split``
+    expression): higher-order functions evaluate interpreted, and any
+    expression referenced INSIDE the lambda body is re-evaluated per
+    element — an inline ``split`` re-runs its regex once per shingle
+    (measured 7× slower on this host). The CASE WHEN guard keeps the
+    expression total (sequence(0, size-n) is descending for <n-token
+    rows), so it is safe wherever filters land.
+    """
+    toks = F.col(toks_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """(id, shingle) — distinct n-gram word shingles per document.
 
@@ -235,21 +273,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     broadcast-consumer scale shape in contamination.py). Precondition:
     ``id_col`` uniquely identifies a document (one row per id), the same
     contract every consumer already assumes.
+
+    The token array is materialized in its own projection first —
+    multiply-referenced, so CollapseProject keeps it apart and the split
+    regex runs once per row, not once per shingle (see :func:`_gram_array`).
     """
-    toks = tokens_expr(text_col)
-    # guarded like duplicate_ngram_spans: Generate-inferred filters may
-    # evaluate the transform on rows the size filter rejects — an
-    # unguarded sequence(0, size-n) crashes on <n-token docs
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("_toks")
+    ).where(F.size("_toks") >= n)  # <n-token docs yield no shingles
     return (
-        df.where(F.size(toks) >= n)  # <n-token docs yield no shingles
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        base.select("id", F.explode(F.array_distinct(_gram_array("_toks", n))).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -337,7 +370,10 @@ def lsh_bucket_pairs(
     ``observation`` (a ``pyspark.sql.Observation``) as ``capped_drop_rows``
     when provided — no extra job, the metric rides the main action.
     """
-    stacked = band_stack(sig, k, bands)
+    # the banded keys are `bands` thin rows per doc but feed both sides of
+    # the bucket self-join — truncating here caps the shingle → signature
+    # pipeline at ONE execution (same discipline as jaccard_on_pairs)
+    stacked = band_stack(sig, k, bands).localCheckpoint(eager=True)
     if bucket_cap is not None:
         from pyspark.sql import Window
 
@@ -382,7 +418,15 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_ids), on="id", how="left_semi")
+    # sh_c feeds three consumers (sizes, both sides of the intersection
+    # self-join); without truncation each re-runs the full upstream
+    # collapse + shingle pipeline (measured 3× in the r6 plan). Its size is
+    # bounded by the candidates' shingles — the verify working set that
+    # flows through the joins anyway — so materializing it is the same
+    # trade as the `pairs` checkpoint above.
+    sh_c = sh.join(F.broadcast(cand_ids), on="id", how="left_semi").localCheckpoint(
+        eager=True
+    )
     sizes = sh_c.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh_c.alias("x")
@@ -1046,7 +1090,12 @@ def simhash_hamming_pairs(
     block_val) bucket keeps the ``bucket_cap`` smallest ids; dropped-row
     count reports as ``capped_drop_rows`` on the Observation.
     """
-    s = simhash(df, text_col, id_col, bits)
+    # (id, simhash) is two longs per document but feeds four lineages
+    # (the fingerprint collapse, the exact-edge join, both sides of the
+    # bit-block self-join) — without truncation the token explode + 64-bit
+    # sum aggregate re-runs for each (4× in the r6 plan). Same
+    # localCheckpoint discipline as jaccard_on_pairs.
+    s = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     if collapse:
         grp = s.groupBy("simhash").agg(F.min("id").alias("keeper_id"))
         reps = grp.select(F.col("keeper_id").alias("id"), "simhash")

@@ -61,6 +61,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate copies the generator expression into a
+        # `size(e) > 0 AND isnotnull(e)` pre-filter. For the engine's
+        # shingle/gram pipelines the generator is the most expensive
+        # expression in the query (split + transform + concat_ws over the
+        # full text), so the "free" inferred filter evaluates it 3× per row
+        # (twice in the filter, once in the project) — measured in the r6
+        # plans (plans/r06/dup_ngram_spans_before.txt nodes 5/6). Every
+        # explode in the engine already carries an explicit emptiness guard
+        # (`size(toks) >= n`), so the inference buys nothing here at any
+        # scale; excluding the rule is semantics-neutral (optimizer rules
+        # never change results, only plans).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
