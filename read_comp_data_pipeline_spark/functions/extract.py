@@ -137,6 +137,47 @@ def first_section_udf(title: pd.Series, content: pd.Series) -> pd.DataFrame:
     )
 
 
+def first_section_exprs(title: Column, content: Column) -> tuple[Column, Column]:
+    """:func:`scan_first_section` as pure JVM Column expressions — the
+    ingest hot path's extraction with ZERO JVM↔Python boundary (guide §4:
+    built-ins beat any UDF; the pandas variant shipped every epoch's full
+    content through Arrow both ways and looped rows in Python).
+
+    Equivalence argument (property-tested against the pandas UDF):
+
+    * ``scan_first_section`` never updates ``header`` before its first
+      return, so heading ≡ ``title or ""`` (null only for null content);
+    * every marker in ``_MARKERS`` contains ``"== "`` as a substring and
+      any ``"== "`` hit IS the level-2 marker, so the first marker LINE is
+      exactly the line containing the first ``"== "`` occurrence;
+    * text ≡ the lines strictly before that line, joined with a single
+      space, stripped — i.e. the prefix up to the last newline before the
+      match, newlines replaced by spaces. No marker anywhere → the whole
+      content.
+
+    Whitespace note: the strip uses Java's ``\\s`` (space/tab/newline/CR/
+    FF/VT) where Python's ``str.strip()`` also covers exotic Unicode
+    whitespace — identical on any ASCII corpus (the WAL generator's
+    alphabet, and every fixture), and property-tested so any future
+    divergence fails loudly.
+    """
+    p = F.instr(content, "== ")
+    left = F.substring(content, F.lit(1), p - 1)
+    rp = F.instr(F.reverse(left), "\n")
+    prefix = F.when(rp == 0, F.lit("")).otherwise(
+        F.substring(left, F.lit(1), F.length(left) - rp)
+    )
+    raw = F.when(p == 0, content).otherwise(prefix)
+    text = F.regexp_replace(
+        F.replace(raw, F.lit("\n"), F.lit(" ")), r"^\s+|\s+$", ""
+    )
+    not_null = content.isNotNull()
+    return (
+        F.when(not_null, F.coalesce(title, F.lit(""))),
+        F.when(not_null, text),
+    )
+
+
 @pandas_udf(T.ArrayType(SECTION_SCHEMA))
 def scan_sections_udf(title: pd.Series, content: pd.Series) -> pd.Series:
     return pd.Series(

@@ -644,29 +644,35 @@ def build_signature_store(
     """
     _write_store_meta(path, n, k, bands)
     # ONE md5 hash-aggregate over the corpus, checkpointed and reused by
-    # groups / exact_edges / reps (recomputing the collapse per relation
-    # tripled the dominant scan+agg cost of the build)
+    # groups / exact_edges / reps. The aggregate carries LONGS ONLY (same
+    # discipline as collapse_exact since r6): min(text) in the buffer
+    # forced a SortAggregate that sorted the full corpus payload twice,
+    # and the old checkpoint stored every keeper text; the keeper's text
+    # is instead fetched by a SHUFFLE_HASH semi-join — value-identical
+    # (texts in a group are md5-equal).
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.md5(F.col(text_col)).alias("content_hash"),
     )
-    grp = hashed.groupBy("content_hash").agg(
-        F.min("id").alias("keeper_id"), F.min("text").alias("keeper_text")
-    ).localCheckpoint(eager=True)
-    grp.select("content_hash", "keeper_id").write.mode("overwrite").parquet(
-        f"{path}/groups"
+    grp = (
+        hashed.groupBy("content_hash")
+        .agg(F.min("id").alias("keeper_id"))
+        .localCheckpoint(eager=True)
     )
+    grp.write.mode("overwrite").parquet(f"{path}/groups")
     exact_edges = (
         hashed.drop("text")
-        .join(grp.select("content_hash", "keeper_id"), on="content_hash")
+        .join(grp, on="content_hash")
         .where(F.col("id") != F.col("keeper_id"))
         .select("content_hash", F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
     )
     exact_edges.write.mode("overwrite").parquet(f"{path}/exact_edges")
-    reps = grp.select(
-        F.col("keeper_id").alias(id_col), F.col("keeper_text").alias(text_col)
-    )
+    reps = hashed.join(
+        grp.select("content_hash", F.col("keeper_id").alias("id")).hint("SHUFFLE_HASH"),
+        on=["content_hash", "id"],
+        how="left_semi",
+    ).select(F.col("id").alias(id_col), F.col("text").alias(text_col))
     sh = shingles(reps, text_col, id_col, n)
     sh.withColumn("sk", _sk_expr()).write.mode("overwrite").partitionBy("sk").parquet(
         f"{path}/shingles"
@@ -809,9 +815,12 @@ def _incremental_state(
     # corpus-side seen-set lookup: groups is the CORPUS-sized relation, so
     # it is never broadcast — a thin (hash, keeper) equi-join; in production
     # both sides bucket on content_hash so even the shuffle disappears
-    dj = d.join(groups_s, on="content_hash", how="left")
-    known = dj.where(F.col("keeper_id").isNotNull()).localCheckpoint(eager=True)
-    new = dj.where(F.col("keeper_id").isNull()).drop("keeper_id").localCheckpoint(eager=True)
+    # ONE checkpoint for the seen-set join; known/new are filters over it
+    # (two separate checkpoints re-ran the corpus-side join twice and paid
+    # two actions for one epoch-sized relation)
+    dj = d.join(groups_s, on="content_hash", how="left").localCheckpoint(eager=True)
+    known = dj.where(F.col("keeper_id").isNotNull())
+    new = dj.where(F.col("keeper_id").isNull()).drop("keeper_id")
 
     # ── known hashes: group updates + possible keeper takeover ──────────
     kagg = known.groupBy("content_hash").agg(F.min("id").alias("_delta_min"))
@@ -844,15 +853,18 @@ def _incremental_state(
     )
 
     # ── new hashes: collapse within the delta, band, verify ─────────────
-    new_groups = new.groupBy("content_hash").agg(
-        F.min("id").alias("id"), F.min("text").alias("text")
-    )
+    # longs-only collapse + keeper fetch (the r6 collapse_exact shape: no
+    # payload-sorting SortAggregate); the delta-sized keeper set is
+    # broadcast for the fetch like every other delta-derived lookup here
+    new_grp = new.groupBy("content_hash").agg(F.min("id").alias("id"))
     new_exact = (
-        new.join(F.broadcast(new_groups.select("content_hash", F.col("id").alias("_k"))),
-                 on="content_hash")
+        new.join(F.broadcast(new_grp.withColumnRenamed("id", "_k")), on="content_hash")
         .where(F.col("id") != F.col("_k"))
         .select("content_hash", F.col("_k").alias("id_a"), F.col("id").alias("id_b"))
     )
+    new_groups = new.join(
+        F.broadcast(new_grp), on=["content_hash", "id"], how="left_semi"
+    ).select("content_hash", "id", "text")
     delta_sh = shingles(new_groups, "text", "id", n).localCheckpoint(eager=True)
     delta_bands = band_stack(minhash_signatures(delta_sh, k), k, bands).withColumn(
         "bk", _bk_expr()

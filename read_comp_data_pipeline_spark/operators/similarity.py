@@ -613,9 +613,12 @@ def _emb_incremental_state(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         _vec_hash(F.col(vec_col)).alias("vec_hash"),
     )
-    dj = d.join(groups_s, on="vec_hash", how="left")
-    known = dj.where(F.col("keeper_id").isNotNull()).localCheckpoint(eager=True)
-    new = dj.where(F.col("keeper_id").isNull()).drop("keeper_id").localCheckpoint(eager=True)
+    # ONE checkpoint for the seen-set join; known/new are filters over it
+    # (two separate checkpoints re-ran the corpus-side join twice and paid
+    # two actions for one epoch-sized relation)
+    dj = d.join(groups_s, on="vec_hash", how="left").localCheckpoint(eager=True)
+    known = dj.where(F.col("keeper_id").isNotNull())
+    new = dj.where(F.col("keeper_id").isNull()).drop("keeper_id")
 
     # ── known vectors: group membership growth + keeper takeover ────────
     kagg = known.groupBy("vec_hash").agg(F.min("id").alias("_delta_min"))

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from read_comp_data_pipeline_spark.functions.extract import (
     content_sha_expr,
-    first_section_udf,
+    first_section_exprs,
     title_expr,
 )
 from read_comp_data_pipeline_spark.operators.compact import compact_latest
@@ -54,15 +54,17 @@ def prepare_target_rows(slice_df: DataFrame, enrich: bool = True) -> DataFrame:
     df = slice_df.withColumn(
         "title", F.when(is_del, F.lit(None)).otherwise(title_expr(F.col("content"), F.col("path")))
     )
-    # O(prefix) lead-section scan: only the first (heading, text) pair is
-    # stored, so the UDF stops at the first header line instead of walking
-    # the whole document (functions/extract.scan_first_section)
-    s1 = first_section_udf(F.col("title"), F.col("content"))
+    # O(prefix) lead-section scan as pure JVM expressions: only the first
+    # (heading, text) pair is stored, so the scan stops at the first header
+    # marker instead of walking the whole document — and the epoch's
+    # multi-GB content never crosses the JVM↔Python boundary (the pandas
+    # UDF this replaces shipped it through Arrow both ways and looped rows
+    # in Python; functions/extract.first_section_exprs carries the
+    # equivalence argument, property-tested against the UDF)
+    h1, t1 = first_section_exprs(F.col("title"), F.col("content"))
     df = (
-        df.withColumn("_s1", s1)
-        .withColumn("heading", F.when(~is_del, F.col("_s1.heading")))
-        .withColumn("text", F.when(~is_del, F.col("_s1.text")))
-        .drop("_s1")
+        df.withColumn("heading", F.when(~is_del, h1))
+        .withColumn("text", F.when(~is_del, t1))
         .withColumn("content_sha", F.when(is_del, F.lit(None)).otherwise(content_sha_expr(F.col("content"))))
     )
     if enrich:
@@ -73,6 +75,11 @@ def prepare_target_rows(slice_df: DataFrame, enrich: bool = True) -> DataFrame:
         # pressure the hot path can't afford)
         live = lambda c: F.when(is_del, F.lit(None)).otherwise(c)  # noqa: E731
         content = F.col("content")
+        # replace-then-length beats split-size HERE despite losing an
+        # isolated microbench: split materializes a per-row array of token
+        # substrings, and inside the already allocation-heavy extraction
+        # projection that extra garbage cost more than replace's single
+        # copy (measured: MOR replay 11.6s -> 17.5s with split-size)
         n_tokens = (
             F.length(content) - F.length(F.replace(content, F.lit(" "), F.lit(""))) + 1
         ).cast("long")

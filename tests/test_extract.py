@@ -163,3 +163,40 @@ def test_ingest_handles_empty_string_content(spark, tmp_path):
     got = {r["path"]: (r["heading"], r["text"]) for r in HashMergeTable(spark, tbl).read().collect()}
     assert got["empty.py"] == ("empty.py", "")  # title falls back to path
     assert got["ok.py"] == ("hello", "hello")
+
+
+def test_first_section_exprs_equal_python_scanner(spark):
+    """The JVM-expression extraction (ingest hot path since r6) must be
+    value-identical to the Python scan_first_section on the tricky battery
+    AND on real generator content — any divergence in marker detection,
+    prefix slicing or whitespace stripping fails here."""
+    from pyspark.sql import functions as F
+
+    from read_comp_data_pipeline_spark.functions.extract import (
+        first_section_exprs,
+        scan_first_section,
+    )
+    from read_comp_data_pipeline_spark.sources.wal import generate_change_events
+
+    docs = [
+        None, "", "plain text only", "== A ==", "x\n== A ==\nbody",
+        "text == mid == marker", "====== deep ======\nx", "\n", "\n\n",
+        "a\n\nb", "  spaced  \n== H ==", "== References ==\nhidden",
+        "\tlead tab\n== H ==", "line\r\ncrlf\n== H ==", "==nospace==\nx",
+        "trailing newline\n", "a\n\n\n== H ==", " == H ==",
+    ]
+    rows = [(f"T{i}", d) for i, d in enumerate(docs)] + [("", docs[4]), (None, docs[4])]
+    df = spark.createDataFrame(rows, "title string, content string")
+    h, t = first_section_exprs(F.col("title"), F.col("content"))
+    got = df.select("title", "content", h.alias("h"), t.alias("t")).collect()
+    for r in got:
+        assert (r["h"], r["t"]) == scan_first_section(r["title"], r["content"]), (
+            r["title"], r["content"], (r["h"], r["t"]))
+
+    wal = generate_change_events(spark, 300, n_keys=40, epoch_size=100)
+    wal = wal.where(F.col("content").isNotNull()).select(
+        F.substring("content", 1, 20).alias("title"), "content"
+    )
+    h, t = first_section_exprs(F.col("title"), F.col("content"))
+    for r in wal.select("title", "content", h.alias("h"), t.alias("t")).collect():
+        assert (r["h"], r["t"]) == scan_first_section(r["title"], r["content"])

@@ -74,8 +74,11 @@ def test_compaction_agg_strategy_is_partial_agg_not_window(spark, sf_dir):
 
 
 def test_extraction_is_arrow_not_row_python(spark, sf_dir):
-    """input_hint: vectorized pandas/Arrow UDFs, never per-row Python.
-    ArrowEvalPython = pandas UDF; BatchEvalPython = row-at-a-time UDF."""
+    """input_hint: vectorized pandas/Arrow UDFs, never per-row Python —
+    and since r6 the ingest extraction is pure JVM expressions, so the hot
+    path shows NO Python evaluation node of either kind (BatchEvalPython =
+    row-at-a-time UDF, ArrowEvalPython = pandas UDF; the remaining Arrow
+    UDF surface is the full W1 scanner, asserted separately below)."""
     docs = load(spark, sf_dir, "documents").limit(10).select(
         F.col("doc_id").cast("string").alias("repo"),
         F.col("source").alias("path"),
@@ -86,8 +89,17 @@ def test_extraction_is_arrow_not_row_python(spark, sf_dir):
         F.lit("U").alias("op"),
     )
     plan = _plan(prepare_target_rows(docs))
-    assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # extraction is JVM-only since r6
+
+    # the full W1 section scanner (the analysis-catalog path) stays an
+    # Arrow-vectorized pandas UDF — never row-at-a-time Python
+    from read_comp_data_pipeline_spark.functions.extract import explode_sections
+
+    w1_plan = _plan(explode_sections(docs.withColumnRenamed("content", "c"),
+                                     title_col="repo", content_col="c"))
+    assert "ArrowEvalPython" in w1_plan
+    assert "BatchEvalPython" not in w1_plan
 
 
 def test_epoch_read_prunes_partitions(spark, tmp_path):
