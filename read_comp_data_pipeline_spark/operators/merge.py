@@ -818,11 +818,26 @@ class HashMergeTable:
         folded = fold_partial_updates(
             source, value_cols, key_cols, snap.get("order_col", "seq"), op_col,
             strategy=strategy,
-        ).withColumn("_b", bucket_expr(n_buckets, key_cols)).localCheckpoint()
+        ).withColumn("_b", bucket_expr(n_buckets, key_cols))
+        obs = None
+        if affected_buckets is None:
+            # the affected-bucket set rides the checkpoint action as an
+            # Observation (bounded by n_buckets) — previously a separate
+            # per-epoch distinct+collect job over the folded slice
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            folded = folded.observe(obs, F.collect_set("_b").alias("_bks"))
+        folded = folded.localCheckpoint()
         if affected_buckets is not None:
             affected = list(affected_buckets)
         else:
-            affected = [r["_b"] for r in folded.select("_b").distinct().collect()]
+            try:
+                affected = sorted(int(b) for b in (obs.get["_bks"] or []))
+            except Exception:
+                # empty-relation short-circuit plans can leave the metric
+                # unpopulated (same fallback as the quarantine observer)
+                affected = [r["_b"] for r in folded.select("_b").distinct().collect()]
         if not affected:
             return self._commit_noop(snap, epoch, src_seq_lo, src_seq_hi, t0, pre_commit, stage)
         tgt = self.read(buckets=affected, at_snapshot=snap)

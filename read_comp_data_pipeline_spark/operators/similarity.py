@@ -535,7 +535,13 @@ def build_embedding_store(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         _vec_hash(F.col(vec_col)).alias("vec_hash"),
     )
-    grp = d.groupBy("vec_hash").agg(F.min("id").alias("keeper_id"))
+    # thin (hash, keeper) relation feeds three consumers — checkpointed
+    # once instead of re-running the scan + vector-hash + aggregate each
+    grp = (
+        d.groupBy("vec_hash")
+        .agg(F.min("id").alias("keeper_id"))
+        .localCheckpoint(eager=True)
+    )
     exact = (
         d.join(grp, on="vec_hash")
         .where(F.col("id") != F.col("keeper_id"))
@@ -549,17 +555,37 @@ def build_embedding_store(
         .select("id", "vec")
         .withColumn("bucket", lsh_signature(F.col("vec"), n_planes, dim))
     )
-    edges = embedding_near_dup_lsh(
-        reps.select(F.col("id"), F.col("vec")), threshold, n_planes, dim,
-        id_col="id", vec_col="vec", collapse=False,
-    )
     _write_emb_store_meta(path, n_planes, dim, threshold)
     grp.write.mode("overwrite").parquet(f"{path}/groups")
     exact.write.mode("overwrite").parquet(f"{path}/exact_edges")
     reps.withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy("ek").parquet(
         f"{path}/reps"
     )
-    edges.write.mode("overwrite").parquet(f"{path}/edges")
+    # known rep-rep edges from the JUST-WRITTEN reps relation — its stored
+    # `bucket` IS the deterministic lsh_signature, so the edge pass reads
+    # thin parquet instead of re-running collapse + signature
+    reps_r = emb.sparkSession.read.parquet(f"{path}/reps")
+    _bucket_self_edges(reps_r, threshold).write.mode("overwrite").parquet(
+        f"{path}/edges"
+    )
+
+
+def _bucket_self_edges(reps: DataFrame, threshold: float) -> DataFrame:
+    """Verified near-dup pairs from an (id, vec, bucket) relation by bucket
+    self-join — the collapse=False LSH pass with the signature already
+    materialized (identical output: the bucket column is the deterministic
+    lsh_signature of the vector)."""
+    a = reps.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"), "bucket")
+    b = reps.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def _emb_incremental_state(
@@ -682,9 +708,11 @@ def _emb_incremental_state(
         )
         .where(F.col("cosine") >= threshold)
     )
-    within_edges = embedding_near_dup_lsh(
-        new_reps.select("id", "vec"), threshold, n_planes, dim,
-        id_col="id", vec_col="vec", collapse=False,
+    # within-delta pairs reuse the checkpointed new_reps' bucket column
+    # (identical to re-deriving the signature; one less interpreted
+    # lsh_signature pass over the delta)
+    within_edges = _bucket_self_edges(
+        new_reps.select("id", "vec", "bucket"), threshold
     )
     near_new = cross_edges.unionByName(within_edges)
 
