@@ -39,6 +39,12 @@ def eval_contamination(
     shares with ANY eval document; ``contaminated`` = at least
     ``threshold`` such shingles. Documents shorter than ``n`` tokens have
     no shingles and report 0/false.
+
+    Precondition (inherited from dedup.shingles' zero-shuffle contract):
+    ``id_col`` uniquely identifies a row in BOTH inputs — duplicate-id
+    rows would emit duplicate (id, shingle) pairs and inflate the
+    intersection counts here instead of failing loudly. Dedupe upstream
+    if a feed can carry duplicate ids.
     """
     eval_ngrams = shingles(eval_docs, text_col, id_col, n).select("shingle").distinct()
     corpus_sh = shingles(corpus, text_col, id_col, n)

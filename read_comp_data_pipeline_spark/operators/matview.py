@@ -141,6 +141,10 @@ def sync_agg_view(
     DIFFERENT data is undetectable once the replay passes the watermark
     again — drop and resync the view after such a recovery.
     """
+    import json
+    import os
+    import uuid
+
     from read_comp_data_pipeline_spark.operators.merge import HashMergeTable
 
     sum_cols = sum_cols or {}
@@ -197,8 +201,24 @@ def sync_agg_view(
             # rollback-rewound one) OLDER than the watermark is the wrong
             # fold base — folding from it double-applies every change the
             # view already reflects. Exact match or full recompute.
+            # Epoch equality alone is NOT enough: maintenance commits like
+            # delete_where bump the source VERSION without an epoch, so
+            # the latest epoch-N snapshot can already include deletions
+            # the view never saw — folding from it would silently keep the
+            # deleted rows' counts forever. The sidecar written at each
+            # sync records the exact source version the view reflects;
+            # any mismatch degrades to the full recompute below.
             if int(cand.get("epoch", -1)) == int(view.last_epoch):
-                snap_a = cand
+                recorded = None
+                try:
+                    with open(os.path.join(view_path, "_sync_meta.json")) as f:
+                        recorded = json.load(f)
+                except (FileNotFoundError, ValueError):
+                    pass  # pre-sidecar view: keep the epoch-only check
+                if recorded is None or int(recorded.get("src_version", -1)) == int(
+                    cand.get("version", -2)
+                ):
+                    snap_a = cand
         except ValueError:
             pass  # watermark snapshot expired (vacuum)
         if snap_a is None:
@@ -240,4 +260,16 @@ def sync_agg_view(
             "COALESCE(lang, 'und')) before syncing"
         )
     view.merge(src, epoch=src_epoch)
+    # record the exact source snapshot the view now reflects (epoch AND
+    # version — the next sync's fold base must match both). Written after
+    # the view commit: a crash in between leaves a stale sidecar whose
+    # version mismatch simply forces a full recompute next sync — safe,
+    # never wrong.
+    tmp = os.path.join(view_path, f".sync_meta.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"src_epoch": src_epoch, "src_version": int(src_snap.get("version", -1))},
+            f,
+        )
+    os.replace(tmp, os.path.join(view_path, "_sync_meta.json"))
     return view

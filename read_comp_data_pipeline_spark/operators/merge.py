@@ -1338,11 +1338,22 @@ class HashMergeTable:
             return self.spark.createDataFrame([], self.schema)
         key_cols = snaps[-1]["key_cols"]
         # ONE tiny job computes the key's xxhash64; each snapshot's bucket
-        # is then driver-side arithmetic (pmod), whatever its bucket count
+        # is then driver-side arithmetic (pmod), whatever its bucket count.
+        # The probe row MUST carry the key columns' REAL types: xxhash64
+        # over a string-cast of a long hashes different bytes than the
+        # bucketing hash, silently pruning the wrong bucket (ADVICE r5).
+        cur = {f.name: f for f in self.schema.fields}
+        probe_schema = T.StructType(
+            [
+                T.StructField(
+                    k, cur[k].dataType if k in cur else T.StringType(), True
+                )
+                for k in key_cols
+            ]
+        )
         h = int(
             self.spark.createDataFrame(
-                [tuple(key[k] for k in key_cols)],
-                ", ".join(f"{k} string" for k in key_cols),
+                [tuple(key[k] for k in key_cols)], probe_schema
             )
             .select(F.xxhash64(*key_cols).alias("h"))
             .first()["h"]
@@ -1646,6 +1657,19 @@ class HashMergeTable:
         the SAME epoch (the crash-recovery path): committing past it would
         collide on the version number (staged version = current+1), and
         publishing implicitly would defeat the audit gate. Loud-over-wrong."""
+        # heal a crashed publish HERE (a write path): a STAGING pointer
+        # naming the same snapshot as CURRENT means the publish fully
+        # happened before the crash — remove the stale pointer so it
+        # neither blocks this commit nor tempts a discard_staged that
+        # would delete the snapshot CURRENT names. Read paths
+        # (staged_snapshot via show/vacuum) stay strictly read-only.
+        p = os.path.join(self.path, _STAGING)
+        if os.path.exists(p):
+            with open(p) as f:
+                name = f.read().strip()
+            with open(os.path.join(self.path, _CURRENT)) as f:
+                if f.read().strip() == name:
+                    os.remove(p)
         staged = self.staged_snapshot()
         if staged is None:
             return
@@ -1661,10 +1685,11 @@ class HashMergeTable:
         STAGING pointer whose snapshot file is gone (discarded mid-crash)
         reads as None; a STAGING pointer naming the SAME snapshot as
         CURRENT means a publish crashed between the two pointer writes —
-        the publish already fully happened, so the stale pointer is
-        removed here (self-healing read; otherwise _check_staging_clear
-        would block every commit and a discard_staged 'cleanup' would
-        delete the very snapshot CURRENT names, bricking the table)."""
+        the publish already fully happened, so it reads as None. This is
+        a STRICTLY READ-ONLY probe (it is invoked from `show` and vacuum
+        pinning — a nominally read-only command must not mutate table
+        state another process may be acting on); the stale-pointer
+        cleanup happens on the next WRITE path via _check_staging_clear."""
         p = os.path.join(self.path, _STAGING)
         if not os.path.exists(p):
             return None
@@ -1672,7 +1697,6 @@ class HashMergeTable:
             name = f.read().strip()
         with open(os.path.join(self.path, _CURRENT)) as f:
             if f.read().strip() == name:
-                os.remove(p)
                 return None
         sp = os.path.join(self.path, "snapshots", name)
         if not os.path.exists(sp):

@@ -69,6 +69,13 @@ def stream_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(wal_path)
 
+    # the audit's 'before' count carries across micro-batches (publish is a
+    # pointer swing, so batch N's staged 'after' IS batch N+1's 'before') —
+    # mirrors _run_epochs' audit_prev_rows: on MOR tables a fresh 'before'
+    # would otherwise cost a full reconciled table count per batch, scaling
+    # audit cost with table size instead of batch size
+    audit_prev_rows: list[int | None] = [None]
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         # the batch feeds three consumers (seq stats, compaction, MERGE) —
         # persist so the file scan runs once
@@ -122,7 +129,11 @@ def stream_ingest(
                 )
 
                 staged_snap = table.staged_snapshot()
-                before = _snapshot_row_count(table, table._snapshot())
+                before = (
+                    audit_prev_rows[0]
+                    if audit_prev_rows[0] is not None
+                    else _snapshot_row_count(table, table._snapshot())
+                )
                 after = _snapshot_row_count(table, staged_snap)
                 if before > 0 and after < before * (1.0 - audit_max_shrink):
                     table.discard_staged()
@@ -139,6 +150,7 @@ def stream_ingest(
                         table_path, int(staged_snap["epoch"]), reason
                     )
                     raise RuntimeError(reason)
+                audit_prev_rows[0] = after
                 table.publish_staged()
         finally:
             batch_df.unpersist()

@@ -300,3 +300,40 @@ def test_sync_rejects_null_group_keys_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL group key"):
         sync_agg_view(spark, t, str(tmp_path / "v"), ["repo"], {"n_tokens": "sum_tokens"})
+
+
+def test_sync_agg_view_sees_delete_where_between_syncs(spark, tmp_path):
+    """A row-level delete_where bumps the source VERSION without an epoch,
+    so the latest epoch-N snapshot is NOT the fold base the view reflects.
+    The sync must detect the version mismatch (sidecar) and fall back to a
+    full recompute — epoch equality alone silently kept the deleted rows'
+    counts forever (ADVICE r5, medium)."""
+    from read_comp_data_pipeline_spark.operators.matview import sync_agg_view
+
+    path = str(tmp_path / "src")
+    vpath = str(tmp_path / "view")
+    t = HashMergeTable.create(spark, path, SCHEMA, n_buckets=4)
+    t.merge(
+        _src(
+            spark,
+            [
+                ("r1", "a", "x", 10, 0, "I"),
+                ("r1", "b", "y", 20, 1, "I"),
+                ("r2", "a", "z", 5, 2, "I"),
+            ],
+        ),
+        epoch=0,
+    )
+    kw = dict(group_cols=["repo"], sum_cols={"n_tokens": "sum_tokens"})
+    view = sync_agg_view(spark, t, vpath, **kw)
+    assert _rows(view.read().drop("seq")) == _rows(_agg(t.read()))
+
+    # maintenance delete between syncs: epoch unchanged, version bumped
+    t.delete_where("repo = 'r1' AND path = 'a'")
+    t.merge(_src(spark, [("r3", "a", "w", 7, 3, "I")]), epoch=1)
+    view = sync_agg_view(spark, t, vpath, **kw)
+    got = _rows(view.read().drop("seq"))
+    assert got == _rows(_agg(t.read())), got
+    # r1 lost one row and 10 tokens via the delete
+    r1 = [r for r in got if r[0] == "r1"]
+    assert r1 and r1[0][1] == 1 and r1[0][2] == 20

@@ -207,9 +207,10 @@ def test_pending_stage_blocks_maintenance_commits(table, spark):
 def test_crashed_publish_self_heals_instead_of_bricking(table, spark):
     """A crash between publish's two pointer writes leaves STAGING naming
     the SAME snapshot CURRENT names. That stale pointer must read as 'no
-    pending stage' (and be removed) — the old behavior blocked every
-    subsequent commit, and a discard_staged 'cleanup' would have deleted
-    the very snapshot file CURRENT points to, bricking the table."""
+    pending stage', and reading must NOT mutate the table (staged_snapshot
+    is invoked from `show`/vacuum — a read-only command healing state
+    another process may be acting on is an operator surprise, ADVICE r5);
+    the cleanup happens on the next WRITE path instead."""
     import os
 
     table.merge(_src(spark, [("r", "c", "c0", 10, "I")]), epoch=1, stage=True)
@@ -219,13 +220,15 @@ def test_crashed_publish_self_heals_instead_of_bricking(table, spark):
     cur = os.path.join(table.path, "CURRENT")
     with open(cur, "w") as f:
         f.write(staged_name)
-    # self-heal: no pending stage reported, stale pointer gone
+    # read-only probe: no pending stage reported, pointer left untouched
     assert table.staged_snapshot() is None
-    assert not os.path.exists(os.path.join(table.path, "STAGING"))
-    # the table reads the published state and commits continue normally
+    assert os.path.exists(os.path.join(table.path, "STAGING"))
+    # the table reads the published state and commits continue normally;
+    # the next write path heals the stale pointer
     assert ("r", "c", "c0", 10) in _state(table)
     table.merge(_src(spark, [("r", "d", "d0", 11, "I")]), epoch=2)
     assert table.last_epoch == 2
+    assert not os.path.exists(os.path.join(table.path, "STAGING"))
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no staged snapshot"):
         table.discard_staged()
