@@ -232,8 +232,10 @@ def apply_partial(
     # tmatch would serialize a full-width epoch image through the driver
     # once per epoch — measured on the 8M-event scaling protocol, that
     # serial build made local[32] slower than local[8]. A shuffled
-    # epoch × epoch join scales with cores instead.
-    j = f.join(tmatch, on=key_cols, how="left")
+    # epoch × epoch join scales with cores instead; SHUFFLE_HASH (the
+    # fold's own hint discipline) keeps the planner from sorting both
+    # ≤1-row/key sides into a sort-merge join.
+    j = f.join(tmatch.hint("SHUFFLE_HASH"), on=key_cols, how="left")
 
     t_seq = F.coalesce(F.col(order_col), F.lit(-1))
     row_deleted = (F.col("_f_op") == "D") & (F.col("_f_seq") > t_seq)
