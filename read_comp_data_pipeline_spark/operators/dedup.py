@@ -600,6 +600,18 @@ def _sk_expr():
     ).cast("int")
 
 
+def _par_jobs(*thunks) -> None:
+    """Run independent Spark actions concurrently from driver threads
+    (guide §2.6): each job's straggler tail back-fills the others'
+    executors instead of serializing the latencies. Exceptions propagate
+    (the first failure re-raises)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        for fut in [pool.submit(t) for t in thunks]:
+            fut.result()
+
+
 def _write_store_meta(path: str, n: int, k: int, bands: int) -> None:
     import json
 
@@ -660,22 +672,29 @@ def build_signature_store(
         .agg(F.min("id").alias("keeper_id"))
         .localCheckpoint(eager=True)
     )
-    grp.write.mode("overwrite").parquet(f"{path}/groups")
     exact_edges = (
         hashed.drop("text")
         .join(grp, on="content_hash")
         .where(F.col("id") != F.col("keeper_id"))
         .select("content_hash", F.col("keeper_id").alias("id_a"), F.col("id").alias("id_b"))
     )
-    exact_edges.write.mode("overwrite").parquet(f"{path}/exact_edges")
     reps = hashed.join(
         grp.select("content_hash", F.col("keeper_id").alias("id")).hint("SHUFFLE_HASH"),
         on=["content_hash", "id"],
         how="left_semi",
     ).select(F.col("id").alias(id_col), F.col("text").alias(text_col))
     sh = shingles(reps, text_col, id_col, n)
-    sh.withColumn("sk", _sk_expr()).write.mode("overwrite").partitionBy("sk").parquet(
-        f"{path}/shingles"
+    # groups / exact_edges / shingles depend only on the checkpointed grp —
+    # independent jobs, submitted concurrently so each write's tail
+    # back-fills the others' idle executors (guide §2.6); Spark schedules
+    # concurrent jobs FIFO within one session
+    _par_jobs(
+        lambda: grp.write.mode("overwrite").parquet(f"{path}/groups"),
+        lambda: exact_edges.write.mode("overwrite").parquet(f"{path}/exact_edges"),
+        lambda: sh.withColumn("sk", _sk_expr())
+        .write.mode("overwrite")
+        .partitionBy("sk")
+        .parquet(f"{path}/shingles"),
     )
     spark = df.sparkSession
     sh_r = spark.read.parquet(f"{path}/shingles")  # reuse, don't re-shingle
@@ -761,15 +780,25 @@ def update_signature_store(
         raise ValueError("out_path must differ from store_path (snapshot-style update)")
     st = _incremental_state(delta, store_path, text_col, id_col, n, k, bands, threshold)
     _write_store_meta(out_path, n, k, bands)
-    st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups")
-    st["exact_edges"].write.mode("overwrite").parquet(f"{out_path}/exact_edges")
-    st["bands"].write.mode("overwrite").partitionBy("bk").parquet(f"{out_path}/bands")
-    # sk is a hash of the id, so takeover relabeling moves rows across
-    # buckets — recompute it from the final ids
-    st["shingles"].withColumn("sk", _sk_expr()).write.mode("overwrite").partitionBy(
-        "sk"
-    ).parquet(f"{out_path}/shingles")
-    st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges")
+    # the five relations are independent actions over the delta pass's
+    # checkpointed intermediates — concurrent submission overlaps their
+    # tails (guide §2.6). sk is a hash of the id, so takeover relabeling
+    # moves rows across buckets — recomputed from the final ids.
+    _par_jobs(
+        lambda: st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups"),
+        lambda: st["exact_edges"].write.mode("overwrite").parquet(
+            f"{out_path}/exact_edges"
+        ),
+        lambda: st["bands"].write.mode("overwrite").partitionBy("bk").parquet(
+            f"{out_path}/bands"
+        ),
+        lambda: st["shingles"]
+        .withColumn("sk", _sk_expr())
+        .write.mode("overwrite")
+        .partitionBy("sk")
+        .parquet(f"{out_path}/shingles"),
+        lambda: st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges"),
+    )
 
 
 def _incremental_state(

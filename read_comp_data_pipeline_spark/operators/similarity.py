@@ -556,10 +556,17 @@ def build_embedding_store(
         .withColumn("bucket", lsh_signature(F.col("vec"), n_planes, dim))
     )
     _write_emb_store_meta(path, n_planes, dim, threshold)
-    grp.write.mode("overwrite").parquet(f"{path}/groups")
-    exact.write.mode("overwrite").parquet(f"{path}/exact_edges")
-    reps.withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy("ek").parquet(
-        f"{path}/reps"
+    # groups / exact / reps depend only on the checkpointed grp —
+    # independent, concurrently submitted (guide §2.6)
+    from read_comp_data_pipeline_spark.operators.dedup import _par_jobs
+
+    _par_jobs(
+        lambda: grp.write.mode("overwrite").parquet(f"{path}/groups"),
+        lambda: exact.write.mode("overwrite").parquet(f"{path}/exact_edges"),
+        lambda: reps.withColumn("ek", _ek_expr())
+        .write.mode("overwrite")
+        .partitionBy("ek")
+        .parquet(f"{path}/reps"),
     )
     # known rep-rep edges from the JUST-WRITTEN reps relation — its stored
     # `bucket` IS the deterministic lsh_signature, so the edge pass reads
@@ -807,9 +814,17 @@ def update_embedding_store(
         delta, store_path, id_col, vec_col, n_planes, dim, threshold
     )
     _write_emb_store_meta(out_path, n_planes, dim, threshold)
-    st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups")
-    st["exact_edges"].write.mode("overwrite").parquet(f"{out_path}/exact_edges")
-    st["reps"].withColumn("ek", _ek_expr()).write.mode("overwrite").partitionBy(
-        "ek"
-    ).parquet(f"{out_path}/reps")
-    st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges")
+    from read_comp_data_pipeline_spark.operators.dedup import _par_jobs
+
+    _par_jobs(
+        lambda: st["groups"].write.mode("overwrite").parquet(f"{out_path}/groups"),
+        lambda: st["exact_edges"].write.mode("overwrite").parquet(
+            f"{out_path}/exact_edges"
+        ),
+        lambda: st["reps"]
+        .withColumn("ek", _ek_expr())
+        .write.mode("overwrite")
+        .partitionBy("ek")
+        .parquet(f"{out_path}/reps"),
+        lambda: st["edges"].write.mode("overwrite").parquet(f"{out_path}/edges"),
+    )
